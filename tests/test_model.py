@@ -1,0 +1,158 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from points2surf_tpu.models import losses
+from points2surf_tpu.models.p2s import PointsToSurfModel
+from points2surf_tpu.models.pointnet import QSTN, STN, PointNetFeat
+
+
+def _batch(rng, b=4, p=32, s=48):
+    return {
+        "patch_pts_ps": jnp.asarray(rng.randn(b, p, 3).astype(np.float32)),
+        "pts_sub_sample_ms": jnp.asarray(rng.randn(b, s, 3).astype(np.float32)),
+        "imp_surf_query_point_ms": jnp.asarray(
+            rng.randn(b, 3).astype(np.float32)
+        ),
+    }
+
+
+def test_stn_near_identity_at_init(rng):
+    m = STN(net_size_max=64, dim=3)
+    x = jnp.asarray(rng.randn(2, 16, 3).astype(np.float32))
+    variables = m.init(jax.random.key(0), x, False)
+    out = m.apply(variables, x, False)
+    assert out.shape == (2, 3, 3)
+    # identity is added; output should be within a small band around it
+    assert np.abs(np.asarray(out) - np.eye(3)).max() < 2.0
+
+
+def test_qstn_outputs_rotation(rng):
+    m = QSTN(net_size_max=64)
+    x = jnp.asarray(rng.randn(2, 16, 3).astype(np.float32))
+    variables = m.init(jax.random.key(0), x, False)
+    rot, quat = m.apply(variables, x, False)
+    r = np.asarray(rot)
+    np.testing.assert_allclose(
+        np.einsum("bij,bkj->bik", r, r), np.tile(np.eye(3), (2, 1, 1)), atol=1e-4
+    )
+    assert quat.shape == (2, 4)
+
+
+@pytest.mark.parametrize("sym_op", ["max", "sum"])
+def test_pointnetfeat_shapes(rng, sym_op):
+    m = PointNetFeat(net_size_max=64, output_size=64, sym_op=sym_op)
+    x = jnp.asarray(rng.randn(3, 20, 3).astype(np.float32))
+    variables = m.init(jax.random.key(0), x, False)
+    feat, trans, quat, trans2 = m.apply(variables, x, False)
+    assert feat.shape == (3, 64)
+    assert trans.shape == (3, 3, 3)
+    assert trans2.shape == (3, 64, 64)
+
+
+def test_pointnetfeat_permutation_invariant(rng):
+    m = PointNetFeat(
+        net_size_max=64, output_size=64, use_point_stn=False,
+        use_feat_stn=False,
+    )
+    x = np.asarray(rng.randn(2, 20, 3), np.float32)
+    variables = m.init(jax.random.key(0), jnp.asarray(x), False)
+    f1, *_ = m.apply(variables, jnp.asarray(x), False)
+    perm = rng.permutation(20)
+    f2, *_ = m.apply(variables, jnp.asarray(x[:, perm]), False)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "variant",
+    ["vanilla", "shared_transformation", "single_transformer", "no_qstn"],
+)
+def test_p2s_model_variants(rng, variant):
+    m = PointsToSurfModel(
+        net_size_max=64,
+        output_dim=2,
+        use_point_stn=variant != "no_qstn",
+        single_transformer=variant == "single_transformer",
+        shared_transformation=variant == "shared_transformation",
+    )
+    batch = _batch(rng)
+    variables = m.init(jax.random.key(0), batch, False)
+    out = m.apply(variables, batch, False)
+    assert out.shape == (4, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_p2s_train_mode_updates_batch_stats(rng):
+    m = PointsToSurfModel(net_size_max=64, output_dim=2)
+    batch = _batch(rng)
+    variables = m.init(jax.random.key(0), batch, True)
+    out, mutated = m.apply(
+        variables, batch, True, mutable=["batch_stats"]
+    )
+    assert out.shape == (4, 2)
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after)
+    )
+
+
+def test_losses_match_torch_semantics(rng):
+    import torch
+    import torch.nn.functional as F
+
+    pred = rng.randn(64).astype(np.float32)
+    target = rng.randn(64).astype(np.float32)
+    sign_target = (rng.rand(64) > 0.5).astype(np.float32)
+
+    got = float(losses.calc_loss_distance(jnp.asarray(pred), jnp.asarray(target)))
+    want = float(
+        F.mse_loss(torch.tanh(torch.from_numpy(pred)), torch.tanh(torch.from_numpy(target)))
+    )
+    assert abs(got - want) < 1e-6
+
+    got = float(losses.calc_loss_magnitude(jnp.asarray(pred), jnp.asarray(target)))
+    want = float(
+        F.mse_loss(
+            torch.tanh(torch.from_numpy(pred).abs()),
+            torch.tanh(torch.from_numpy(target).abs()),
+        )
+    )
+    assert abs(got - want) < 1e-6
+
+    got = float(losses.calc_loss_sign(jnp.asarray(pred), jnp.asarray(sign_target)))
+    want = float(
+        F.binary_cross_entropy_with_logits(
+            torch.from_numpy(pred), torch.from_numpy(sign_target)
+        )
+    )
+    assert abs(got - want) < 1e-6
+
+
+def test_postprocess(rng):
+    pred = rng.randn(32).astype(np.float32)
+    d = np.asarray(losses.post_process_distance(jnp.asarray(pred)))
+    np.testing.assert_allclose(d, np.tanh(pred) ** 2 * np.sign(pred), atol=1e-6)
+    m = np.asarray(losses.post_process_magnitude(jnp.asarray(pred)))
+    np.testing.assert_allclose(m, np.tanh(pred) ** 2, atol=1e-6)
+    s = np.asarray(losses.post_process_sign(jnp.asarray(pred)))
+    assert set(np.unique(s)) <= {-1.0, 1.0}
+    assert (s[pred >= 0] == 1.0).all()
+
+
+def test_calc_metrics(rng):
+    pred = jnp.asarray(rng.randn(64, 2).astype(np.float32))
+    batch = {
+        "imp_surf_magnitude_ms": jnp.asarray(
+            np.abs(rng.randn(64, 1)).astype(np.float32)
+        ),
+        "imp_surf_dist_sign_ms": jnp.asarray(
+            (rng.rand(64, 1) > 0.5).astype(np.float32)
+        ),
+    }
+    m = losses.calc_metrics(("imp_surf_magnitude", "imp_surf_sign"), pred, batch)
+    for k in ("abs_dist_rms", "accuracy", "precision", "recall", "f1_score"):
+        assert k in m
+    assert 0.0 <= float(m["accuracy"]) <= 1.0

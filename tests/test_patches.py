@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import spatial
+
+from points2surf_tpu.ops.patches import PatchConfig, extract_patches
+
+
+def _cloud(rng, n=2000):
+    return (rng.rand(n, 3).astype(np.float32) * 1.6) - 0.8
+
+
+def test_knn_patch_matches_reference_pipeline(rng):
+    """Eval-mode (no augmentation) patches must match the reference's
+    __getitem__ numpy pipeline (data_loader.py:322-361) for kNN mode."""
+    pts = _cloud(rng)
+    q = _cloud(rng, 5)
+    cfg = PatchConfig(points_per_patch=32, patch_radius=0.0,
+                      sub_sample_size=64, chunk=512)
+    out = extract_patches(
+        jnp.asarray(pts), jnp.asarray(q), pts.shape[0], jax.random.key(0),
+        cfg=cfg, train=False,
+    )
+    tree = spatial.cKDTree(pts)
+    ref_d, ref_i = tree.query(q, 32)
+    radius = np.asarray(out["patch_radius_ms"])
+    np.testing.assert_allclose(radius, ref_d.max(1), rtol=1e-4)
+    patch_ps = np.asarray(out["patch_pts_ps"])
+    want_ps = (pts[ref_i] - q[:, None, :]) / radius[:, None, None]
+    # sort rows (selection order may differ under ties)
+    got_sorted = np.sort(patch_ps.reshape(5, -1), axis=1)
+    want_sorted = np.sort(want_ps.reshape(5, -1), axis=1)
+    np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-4)
+    # patch space is normalized: all points within unit ball
+    norms = np.linalg.norm(patch_ps, axis=-1)
+    assert (norms <= 1.0 + 1e-4).all()
+    np.testing.assert_allclose(norms.max(axis=1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["imp_surf_query_point_ps"]), 0.0)
+    np.testing.assert_allclose(np.asarray(out["imp_surf_query_point_ms"]), q)
+
+
+def test_ball_patch_pads_with_query(rng):
+    pts = _cloud(rng)
+    q = np.array([[0.75, 0.75, 0.75]], np.float32)  # sparse corner
+    cfg = PatchConfig(points_per_patch=64, patch_radius=0.05,
+                      sub_sample_size=0, chunk=512)
+    out = extract_patches(
+        jnp.asarray(pts), jnp.asarray(q), pts.shape[0], jax.random.key(0),
+        cfg=cfg, train=False,
+    )
+    patch_ps = np.asarray(out["patch_pts_ps"])[0]
+    tree = spatial.cKDTree(pts)
+    n_in_ball = len(tree.query_ball_point(q[0], 0.05))
+    n_origin = (np.abs(patch_ps).sum(1) == 0).sum()
+    assert n_origin >= 64 - n_in_ball  # padding slots at the origin
+    np.testing.assert_allclose(
+        np.asarray(out["patch_radius_ms"]), 0.05, rtol=1e-6
+    )
+
+
+def test_train_mode_applies_consistent_rotation(rng):
+    pts = _cloud(rng)
+    q = _cloud(rng, 3)
+    cfg = PatchConfig(points_per_patch=16, sub_sample_size=32, chunk=512)
+    key = jax.random.key(7)
+    a = extract_patches(jnp.asarray(pts), jnp.asarray(q), pts.shape[0], key,
+                        cfg=cfg, train=False)
+    b = extract_patches(jnp.asarray(pts), jnp.asarray(q), pts.shape[0], key,
+                        cfg=cfg, train=True)
+    # rotation preserves distances to the query / origin
+    np.testing.assert_allclose(
+        np.sort(np.linalg.norm(np.asarray(b["patch_pts_ps"]), axis=-1), 1),
+        np.sort(np.linalg.norm(np.asarray(a["patch_pts_ps"]), axis=-1), 1),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(b["imp_surf_query_point_ms"]), axis=-1),
+        np.linalg.norm(q, axis=-1),
+        rtol=1e-4,
+    )
+    # but actually rotates (points differ)
+    assert np.abs(
+        np.asarray(b["patch_pts_ps"]) - np.asarray(a["patch_pts_ps"])
+    ).max() > 1e-3
+    # radius unaffected by rotation
+    np.testing.assert_allclose(
+        np.asarray(b["patch_radius_ms"]), np.asarray(a["patch_radius_ms"]),
+        rtol=1e-5,
+    )
+
+
+def test_batch_keys_and_shapes(rng):
+    pts = _cloud(rng, 600)
+    q = _cloud(rng, 9)
+    cfg = PatchConfig(points_per_patch=20, sub_sample_size=30, chunk=256)
+    out = extract_patches(
+        jnp.asarray(pts), jnp.asarray(q), 600, jax.random.key(0),
+        cfg=cfg, train=True,
+    )
+    assert out["patch_pts_ps"].shape == (9, 20, 3)
+    assert out["pts_sub_sample_ms"].shape == (9, 30, 3)
+    assert out["patch_radius_ms"].shape == (9,)
+    assert out["imp_surf_query_point_ms"].shape == (9, 3)
+    assert out["patch_pts_ids"].shape == (9, 20)
