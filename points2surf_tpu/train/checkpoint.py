@@ -1,0 +1,70 @@
+"""Checkpointing: params + batch stats + optimizer state + config.
+
+Improves on the reference, which persists only the model state_dict and
+loses optimizer/scheduler state across --refine restarts
+(source/points_to_surf_train.py:511-517, SURVEY §5). Format: a msgpack blob
+(flax.serialization) holding the whole train state, plus a JSON sidecar for
+the config namespace (the reference pickles the argparse namespace into
+``*_params.pth``; ours is ``*_params.json``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+
+import flax.serialization
+import jax
+import numpy as np
+
+from points2surf_tpu.utils import file_utils
+
+MODEL_SUFFIX = "_model.npz"
+
+
+def save_state(path: str, state_dict: dict) -> None:
+    file_utils.make_dir_for_file(path)
+    host_state = jax.tree_util.tree_map(np.asarray, state_dict)
+    blob = flax.serialization.to_bytes(host_state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_state(path: str, template: dict) -> dict:
+    with open(path, "rb") as f:
+        blob = f.read()
+    return flax.serialization.from_bytes(template, blob)
+
+
+def save_params_namespace(path: str, opt) -> None:
+    file_utils.make_dir_for_file(path)
+    d = {k: v for k, v in vars(opt).items()}
+    with open(path, "w") as f:
+        json.dump(d, f, indent=2, default=str)
+
+
+def load_params_namespace(path: str):
+    import argparse
+
+    with open(path) as f:
+        d = json.load(f)
+    return argparse.Namespace(**d)
+
+
+def epoch_from_filename(path: str) -> int:
+    """Parse '<name>_model_<epoch>.*' -> epoch + 1, else 0
+    (reference points_to_surf_train.py:267-282)."""
+    stem = os.path.basename(path)
+    m = re.search(r"_(\d+)\.[^.]+$", stem)
+    return int(m.group(1)) + 1 if m else 0
+
+
+def is_snapshot_epoch(epoch: int, nepoch: int) -> bool:
+    """Log-spaced immutable snapshots: epochs 0,5,10,50,100,500,... plus
+    every 100 and the final epoch (reference train.py:516)."""
+    base = 5 * 10 ** math.floor(math.log10(max(2, epoch - 1)))
+    return epoch % base == 0 or epoch % 100 == 0 or epoch == nepoch - 1

@@ -1,0 +1,363 @@
+"""Training driver: pjit-style data-parallel train step + epoch loop.
+
+TPU-native re-design of the reference training loop
+(source/points_to_surf_train.py:167-534):
+
+* one jitted train step — forward (batch-stats mode), loss, backward, SGD —
+  with the batch sharded over the mesh's ``data`` axis and parameters
+  replicated; XLA emits the gradient all-reduce over ICI (replacing
+  torch.nn.DataParallel, :413-414);
+* SGD momentum 0.9 + multi-step LR decay x0.1 at the configured epochs
+  (:406-410), expressed as an optax piecewise-constant schedule in steps;
+* interleaved test evaluation paced by training progress (:480-509);
+* TensorBoard-compatible scalars with the reference's tag names (:137-164);
+* checkpoints every save_interval epochs + log-spaced immutable snapshots
+  (:511-517), including optimizer state (an improvement — the reference
+  drops it).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from points2surf_tpu.data.pipeline import PatchPipeline
+from points2surf_tpu.data.samplers import (
+    RandomPatchSampler,
+    SequentialShapeRandomPatchSampler,
+)
+from points2surf_tpu.data.shapes import ShapeStore
+from points2surf_tpu.models import losses as L
+from points2surf_tpu.models.p2s import PointsToSurfModel
+from points2surf_tpu.ops.patches import PatchConfig
+from points2surf_tpu.parallel import make_mesh, replicate, shard_batch
+from points2surf_tpu.train import checkpoint as ckpt
+
+GREEN = "\033[92m"
+BLUE = "\033[94m"
+ENDC = "\033[0m"
+
+
+def output_spec(outputs):
+    """Map the `outputs` flag list to prediction dims / names / weights
+    (reference points_to_surf_train.py:200-249)."""
+    pred_dim = 0
+    names = []
+    weights = {}
+    for o in outputs:
+        if o in ("imp_surf", "imp_surf_magnitude", "imp_surf_sign"):
+            names.append(o)
+            weights[o] = 1.0
+            pred_dim += 1
+        elif o in ("p_index", "patch_pts_ids"):
+            pass  # debug plumbing, no prediction dims (:235-244)
+        else:
+            raise ValueError(f"Unknown output: {o}")
+    if pred_dim <= 0:
+        raise ValueError("Prediction is empty for the given outputs.")
+    return pred_dim, names, weights
+
+
+def build_model(opt, pred_dim: int) -> PointsToSurfModel:
+    return PointsToSurfModel(
+        net_size_max=opt.net_size,
+        output_dim=pred_dim,
+        use_point_stn=bool(opt.use_point_stn),
+        use_feat_stn=bool(opt.use_feat_stn),
+        sym_op=opt.sym_op,
+        single_transformer=bool(opt.single_transformer),
+        shared_transformation=bool(opt.shared_transformer),
+    )
+
+
+class Trainer:
+    def __init__(self, opt, log_writer=None):
+        self.opt = opt
+        self.pred_dim, self.output_names, self.loss_weights = output_spec(
+            opt.outputs
+        )
+        self.model = build_model(opt, self.pred_dim)
+        self.fixed_radius = opt.patch_radius > 0.0
+        self.mesh = make_mesh()
+        self.log_writer = log_writer
+
+        self.patch_cfg = PatchConfig(
+            points_per_patch=opt.points_per_patch,
+            patch_radius=opt.patch_radius,
+            sub_sample_size=opt.sub_sample_size,
+            uniform_subsample=bool(opt.uniform_subsample),
+            fixed_subsample=bool(opt.fixed_subsample),
+        )
+
+        self.train_store = ShapeStore(
+            opt.indir,
+            opt.trainset,
+            with_query=True,
+            cache_capacity=opt.cache_capacity,
+        )
+        self.test_store = ShapeStore(
+            opt.indir,
+            opt.testset,
+            with_query=True,
+            cache_capacity=opt.cache_capacity,
+        )
+        # the reference applies rotation augmentation to train AND its
+        # interleaved test batches (any non-reconstruction __getitem__,
+        # data_loader.py:381-393)
+        self.train_pipe = PatchPipeline(
+            self.train_store, self.patch_cfg, augment=True, seed=opt.seed
+        )
+        self.test_pipe = PatchPipeline(
+            self.test_store, self.patch_cfg, augment=True, seed=opt.seed + 1
+        )
+
+        self.train_sampler = self._make_sampler(self.train_store)
+        self.test_sampler = self._make_sampler(self.test_store)
+
+        self.steps_per_epoch = max(
+            1, math.ceil(len(self.train_sampler) / opt.batchSize)
+        )
+        boundaries = {
+            int(e) * self.steps_per_epoch: 0.1 for e in opt.scheduler_steps
+        }
+        self.lr_schedule = optax.piecewise_constant_schedule(opt.lr, boundaries)
+        self.tx = optax.sgd(self.lr_schedule, momentum=opt.momentum)
+
+        self._init_state()
+        self._build_steps()
+
+    # -- state ------------------------------------------------------------
+
+    def _make_sampler(self, store):
+        opt = self.opt
+        if opt.training_order == "random":
+            return RandomPatchSampler(
+                store.shape_patch_count,
+                opt.patches_per_shape,
+                seed=opt.seed,
+                identical_epochs=bool(opt.identical_epochs),
+            )
+        if opt.training_order == "random_shape_consecutive":
+            return SequentialShapeRandomPatchSampler(
+                store.shape_patch_count,
+                opt.patches_per_shape,
+                seed=opt.seed,
+                identical_epochs=bool(opt.identical_epochs),
+            )
+        raise ValueError(f"Unknown training order: {opt.training_order}")
+
+    def _init_state(self):
+        opt = self.opt
+        b = min(2, opt.batchSize)
+        dummy = {
+            "patch_pts_ps": jnp.zeros((b, opt.points_per_patch, 3)),
+            "pts_sub_sample_ms": jnp.zeros((b, max(opt.sub_sample_size, 1), 3)),
+            "imp_surf_query_point_ms": jnp.zeros((b, 3)),
+        }
+        variables = self.model.init(jax.random.key(opt.seed), dummy, True)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.opt_state = self.tx.init(self.params)
+        self.global_step = 0
+        self.start_epoch = 0
+
+        if getattr(opt, "refine", ""):
+            print(f"Refining weights from {opt.refine}")
+            state = ckpt.load_state(opt.refine, self.state_dict())
+            self.params = state["params"]
+            self.batch_stats = state["batch_stats"]
+            self.opt_state = state["opt_state"]
+            self.start_epoch = ckpt.epoch_from_filename(opt.refine)
+            self.global_step = self.start_epoch * self.steps_per_epoch
+            if self.start_epoch:
+                print(f"Continuing training from epoch {self.start_epoch}")
+
+        self.params = replicate(self.params, self.mesh)
+        self.batch_stats = replicate(self.batch_stats, self.mesh)
+        self.opt_state = replicate(self.opt_state, self.mesh)
+
+    def state_dict(self):
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+        }
+
+    @property
+    def num_params(self) -> int:
+        return sum(
+            x.size for x in jax.tree_util.tree_leaves(self.params)
+        )
+
+    # -- jitted steps ------------------------------------------------------
+
+    def _build_steps(self):
+        model = self.model
+        outputs = tuple(self.opt.outputs)
+        weights = dict(self.loss_weights)
+        fixed_radius = self.fixed_radius
+        tx = self.tx
+
+        def loss_fn(params, batch_stats, batch):
+            pred, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                True,
+                mutable=["batch_stats"],
+            )
+            loss_list = L.compute_loss(pred, batch, outputs, weights, fixed_radius)
+            total = sum(loss_list)
+            return total, (jnp.stack(loss_list), pred, mutated["batch_stats"])
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, batch):
+            (_, (loss_list, pred, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = L.calc_metrics(outputs, pred, batch)
+            return params, new_bs, opt_state, loss_list, metrics
+
+        @jax.jit
+        def eval_step(params, batch_stats, batch):
+            pred = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, False
+            )
+            loss_list = L.compute_loss(pred, batch, outputs, weights, fixed_radius)
+            metrics = L.calc_metrics(outputs, pred, batch)
+            return jnp.stack(loss_list), metrics
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    # -- logging -----------------------------------------------------------
+
+    def _log(self, prefix, train, epoch, batchind, fraction_done, num_batch,
+             loss_list, metrics):
+        opt = self.opt
+        loss_np = np.asarray(loss_list)
+        loss_sum = float(loss_np.sum())
+        current_step = (epoch + fraction_done) * num_batch * opt.batchSize
+        w = self.log_writer
+        if w is not None:
+            tag = "train" if train else "eval"
+            w.add_scalar(f"loss/{tag}/total", loss_sum, current_step)
+            if len(loss_np) > 1:
+                for wi, v in enumerate(loss_np):
+                    w.add_scalar(
+                        f"loss/{tag}/comp_{self.output_names[wi]}",
+                        float(v),
+                        current_step,
+                    )
+            for k in ("abs_dist_rms", "accuracy", "precision", "recall",
+                      "f1_score"):
+                if k in metrics:
+                    v = float(metrics[k])
+                    w.add_scalar(
+                        f"metrics/{tag}/{k}",
+                        0.0 if math.isnan(v) else v,
+                        current_step,
+                    )
+        if batchind % opt.debug_interval == 0:
+            rmse = float(metrics.get("abs_dist_rms", float("nan")))
+            f1 = float(metrics.get("f1_score", float("nan")))
+            print(
+                f"[{opt.name} {epoch}: {batchind}/{num_batch - 1}] {prefix} "
+                f"loss: {loss_sum:+.2f}, rmse: {rmse:+.2f}, f1: {f1:+.2f}"
+            )
+
+    # -- main loop ----------------------------------------------------------
+
+    def train(self):
+        opt = self.opt
+        os.makedirs(opt.outdir, exist_ok=True)
+        model_filename = os.path.join(opt.outdir, f"{opt.name}_model.npz")
+        ckpt.save_params_namespace(
+            os.path.join(opt.outdir, f"{opt.name}_params.json"), opt
+        )
+        with open(
+            os.path.join(opt.outdir, f"{opt.name}_description.txt"), "w"
+        ) as f:
+            print(opt.desc, file=f)
+
+        train_num_batch = self.steps_per_epoch
+        test_num_batch = max(
+            1, math.ceil(len(self.test_sampler) / opt.batchSize)
+        )
+
+        for epoch in range(self.start_epoch, opt.nepoch):
+            t_epoch = time.time()
+            test_iter = self.test_pipe.batches(
+                iter(self.test_sampler), opt.batchSize
+            )
+            test_batchind = -1
+            test_fraction_done = 0.0
+
+            for batchind, batch in enumerate(
+                self.train_pipe.batches(iter(self.train_sampler), opt.batchSize)
+            ):
+                batch = shard_batch(batch, self.mesh)
+                (
+                    self.params,
+                    self.batch_stats,
+                    self.opt_state,
+                    loss_list,
+                    metrics,
+                ) = self._train_step(
+                    self.params, self.batch_stats, self.opt_state, batch
+                )
+                self.global_step += 1
+                fraction_done = (batchind + 1) / train_num_batch
+                self._log(
+                    GREEN + "train" + ENDC, True, epoch, batchind,
+                    fraction_done, train_num_batch, loss_list, metrics,
+                )
+
+                # interleave test batches paced by train progress (:480-509)
+                while (
+                    test_fraction_done <= fraction_done
+                    and test_batchind + 1 < test_num_batch
+                ):
+                    tb = next(test_iter, None)
+                    if tb is None:
+                        break
+                    test_batchind += 1
+                    tb = shard_batch(tb, self.mesh)
+                    loss_t, metrics_t = self._eval_step(
+                        self.params, self.batch_stats, tb
+                    )
+                    test_fraction_done = (test_batchind + 1) / test_num_batch
+                    self._log(
+                        BLUE + "test" + ENDC, False, epoch, test_batchind,
+                        test_fraction_done, train_num_batch, loss_t, metrics_t,
+                    )
+
+            if epoch % opt.save_interval == 0 or epoch == opt.nepoch - 1:
+                ckpt.save_state(model_filename, self.state_dict())
+            if ckpt.is_snapshot_epoch(epoch, opt.nepoch):
+                ckpt.save_state(
+                    os.path.join(
+                        opt.outdir, f"{opt.name}_model_{epoch}.npz"
+                    ),
+                    self.state_dict(),
+                )
+
+            lr_now = float(self.lr_schedule(self.global_step))
+            if self.log_writer is not None:
+                self.log_writer.add_scalar(
+                    "LR", lr_now,
+                    (epoch + 1) * train_num_batch * opt.batchSize - 1,
+                )
+                self.log_writer.flush()
+            print(
+                f"epoch {epoch} done in {time.time() - t_epoch:.1f}s "
+                f"(lr {lr_now:g})"
+            )
