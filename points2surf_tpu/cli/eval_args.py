@@ -1,0 +1,41 @@
+"""Evaluation CLI flags — same names/defaults as the reference
+(source/points_to_surf_eval.py:16-65)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_arguments(args=None):
+    parser = argparse.ArgumentParser()
+
+    parser.add_argument('--indir', type=str, default='datasets/abc_minimal')
+    parser.add_argument('--outdir', type=str, default='results')
+    parser.add_argument('--dataset', nargs='+', type=str,
+                        default=['testset.txt'])
+    parser.add_argument('--reconstruction', type=bool, default=False)
+    parser.add_argument('--query_grid_resolution', type=int, default=None)
+    parser.add_argument('--epsilon', type=int, default=None)
+    parser.add_argument('--certainty_threshold', type=float, default=None)
+    parser.add_argument('--sigma', type=int, default=None)
+    parser.add_argument('--up_sampling_factor', type=int, default=10)
+    parser.add_argument('--modeldir', type=str, default='models')
+    parser.add_argument('--models', type=str, default='p2s_vanilla')
+    parser.add_argument('--modelpostfix', type=str, default='_model.npz')
+    parser.add_argument('--parampostfix', type=str, default='_params.json')
+    parser.add_argument('--gpu_idx', type=int, default=0,
+                        help='ignored on TPU')
+    parser.add_argument('--sparse_patches', type=int, default=False)
+    parser.add_argument('--sampling', type=str, default='full')
+    parser.add_argument('--patches_per_shape', type=int, default=1000)
+    parser.add_argument('--query_points_per_patch', type=int, default=1)
+    parser.add_argument('--sub_sample_size', type=int, default=500)
+    parser.add_argument('--seed', type=int, default=40938661)
+    parser.add_argument('--batchSize', type=int, default=0)
+    parser.add_argument('--workers', type=int, default=0)
+    parser.add_argument('--cache_capacity', type=int, default=100)
+
+    opt = parser.parse_args(args=args)
+    if len(opt.dataset) == 1:
+        opt.dataset = opt.dataset[0]
+    return opt

@@ -15,7 +15,6 @@ import math
 import os
 import re
 
-import flax.serialization
 import jax
 import numpy as np
 
@@ -24,20 +23,45 @@ from points2surf_tpu.utils import file_utils
 MODEL_SUFFIX = "_model.npz"
 
 
+def _flatten(tree) -> dict:
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): leaf for path, leaf in leaves}
+
+
 def save_state(path: str, state_dict: dict) -> None:
+    """Persist a pytree as a flat npz keyed by tree paths.
+
+    Path-keyed flat storage (instead of a structural blob) makes restores
+    robust to optimizer-state structure differences: eval restores only the
+    params/batch_stats subset it asks for.
+    """
     file_utils.make_dir_for_file(path)
-    host_state = jax.tree_util.tree_map(np.asarray, state_dict)
-    blob = flax.serialization.to_bytes(host_state)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
+    flat = {k: np.asarray(v) for k, v in _flatten(state_dict).items()}
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
 
 
-def load_state(path: str, template: dict) -> dict:
-    with open(path, "rb") as f:
-        blob = f.read()
-    return flax.serialization.from_bytes(template, blob)
+def load_state(path: str, template: dict, strict: bool = True) -> dict:
+    """Restore a pytree from npz; template supplies the structure.
+
+    With strict=False, leaves missing from the file keep their template
+    values (used by eval, which doesn't need optimizer state).
+    """
+    with np.load(path) as data:
+        paths_leaves = jax.tree_util.tree_flatten_with_path(template)
+        leaves, treedef = paths_leaves
+        out = []
+        for key_path, leaf in leaves:
+            key = jax.tree_util.keystr(key_path)
+            if key in data.files:
+                out.append(data[key])
+            elif strict:
+                raise KeyError(f"checkpoint {path} is missing {key}")
+            else:
+                out.append(leaf)
+    structure = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(structure, out)
 
 
 def save_params_namespace(path: str, opt) -> None:

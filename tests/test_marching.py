@@ -1,0 +1,67 @@
+import numpy as np
+
+from points2surf_tpu.ops.marching_cubes import marching_tetrahedra
+
+
+def _sphere_field(res, radius=0.3):
+    lin = np.linspace(-1, 1, res, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    d = np.sqrt(x * x + y * y + z * z)
+    return (radius - d).astype(np.float32)  # positive inside
+
+
+def test_sphere_surface(rng):
+    res = 32
+    vol = _sphere_field(res)
+    verts, faces = marching_tetrahedra(vol, 0.0)
+    assert len(verts) > 100 and len(faces) > 100
+    # vertices lie on the sphere of radius 0.3 (in model coords)
+    ms = verts / (res - 1) * 2.0 - 1.0
+    r = np.linalg.norm(ms, axis=1)
+    assert abs(r.mean() - 0.3) < 0.01
+    assert r.std() < 0.01
+
+
+def test_watertight_closed_surface(rng):
+    vol = _sphere_field(24, 0.4)
+    verts, faces = marching_tetrahedra(vol, 0.0)
+    # every edge must be shared by exactly 2 faces (closed 2-manifold)
+    edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+    )
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+
+
+def test_orientation_outward(rng):
+    res = 24
+    vol = _sphere_field(res, 0.4)
+    verts, faces = marching_tetrahedra(vol, 0.0)
+    # normals should point away from the center (outside = negative field)
+    v0, v1, v2 = (verts[faces[:, k]] for k in range(3))
+    n = np.cross(v1 - v0, v2 - v0)
+    centroid = (v0 + v1 + v2) / 3.0 - (res - 1) / 2.0
+    outward = np.einsum("ij,ij->i", n, centroid)
+    assert (outward > 0).mean() > 0.99
+
+
+def test_signed_volume_of_sphere(rng):
+    res = 40
+    radius = 0.5
+    vol = _sphere_field(res, radius)
+    verts, faces = marching_tetrahedra(vol, 0.0)
+    ms = verts / (res - 1) * 2.0 - 1.0
+    v0, v1, v2 = (ms[faces[:, k]] for k in range(3))
+    signed_vol = np.einsum("ij,ij->i", v0, np.cross(v1, v2)).sum() / 6.0
+    want = 4.0 / 3.0 * np.pi * radius**3
+    assert abs(abs(signed_vol) - want) / want < 0.02
+
+
+def test_empty_and_full_fields():
+    vol = np.full((8, 8, 8), -1.0, np.float32)
+    verts, faces = marching_tetrahedra(vol, 0.0)
+    assert len(verts) == 0 and len(faces) == 0
+    vol = np.full((8, 8, 8), 1.0, np.float32)
+    verts, faces = marching_tetrahedra(vol, 0.0)
+    assert len(verts) == 0 and len(faces) == 0
