@@ -1,0 +1,59 @@
+"""Fused SDF query step: patch extraction + model forward + post-processing
+as ONE jitted program.
+
+This is the production inference path for reconstruction: a batch of query
+points against a device-resident cloud, returning model-space signed
+distances. Keeping it a single XLA program avoids host round-trips between
+extraction and forward (the reference pays a process boundary + H2D per
+batch here, points_to_surf_eval.py:358-373).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from points2surf_tpu.models import losses as L
+from points2surf_tpu.ops.patches import PatchConfig, extract_patches
+
+
+def make_sdf_query_fn(model, outputs, patch_cfg: PatchConfig,
+                      fixed_radius: bool, augment: bool = False):
+    """Returns jitted fn(params, batch_stats, points, queries, n_valid, key)
+    -> (B,) model-space signed distances."""
+    outputs = tuple(outputs)
+
+    @functools.partial(jax.jit, static_argnames=("small_cloud",))
+    def query_fn(params, batch_stats, points, queries, n_valid, key,
+                 small_cloud: bool = False):
+        batch = extract_patches(
+            points, queries, n_valid, key,
+            cfg=patch_cfg, train=augment, small_cloud=small_cloud,
+        )
+        pred = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch, False
+        )
+        radius = batch["patch_radius_ms"]
+        dim = 0
+        dist = None
+        mag = None
+        sign = None
+        for o in outputs:
+            if o == "imp_surf":
+                d = L.post_process_distance(pred[:, dim])
+                dist = d * radius if not fixed_radius else d
+                dim += 1
+            elif o == "imp_surf_magnitude":
+                m = L.post_process_magnitude(pred[:, dim])
+                mag = m * radius if not fixed_radius else m
+                dim += 1
+            elif o == "imp_surf_sign":
+                sign = L.post_process_sign(pred[:, dim])
+                dim += 1
+        if dist is None:
+            dist = mag * sign
+        return dist
+
+    return query_fn

@@ -1,0 +1,143 @@
+"""Checkpoint-import parity: our flax model with converted torch weights
+must reproduce the reference torch model's outputs.
+
+The reference code is imported read-only from /root/reference as a test
+oracle (never copied); tests skip when it isn't mounted.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "source")),
+    reason="reference repo not mounted",
+)
+
+
+def _torch_model(**kw):
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from source.points_to_surf_model import PointsToSurfModel as TorchP2S
+
+    defaults = dict(
+        net_size_max=128,
+        num_points=24,
+        output_dim=2,
+        use_point_stn=True,
+        use_feat_stn=True,
+        sym_op="max",
+        sub_sample_size=32,
+        single_transformer=0,
+        shared_transformation=False,
+    )
+    defaults.update(kw)
+    return TorchP2S(**defaults), defaults
+
+
+def _batch(rng, b=6, p=24, s=32):
+    import torch
+
+    return {
+        "patch_pts_ps": torch.from_numpy(
+            rng.randn(b, p, 3).astype(np.float32)
+        ),
+        "pts_sub_sample_ms": torch.from_numpy(
+            rng.randn(b, s, 3).astype(np.float32)
+        ),
+        "imp_surf_query_point_ms": torch.from_numpy(
+            rng.randn(b, 3).astype(np.float32)
+        ),
+    }
+
+
+@pytest.mark.parametrize(
+    "variant", ["vanilla", "shared", "single", "no_stn"]
+)
+def test_forward_parity_with_reference(rng, variant):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from points2surf_tpu.models.import_torch import convert_state_dict
+    from points2surf_tpu.models.p2s import PointsToSurfModel
+
+    kw = {}
+    if variant == "shared":
+        kw = dict(shared_transformation=True)
+    elif variant == "single":
+        kw = dict(single_transformer=1)
+    elif variant == "no_stn":
+        kw = dict(use_point_stn=False)
+    tm, cfg = _torch_model(**kw)
+    tm.eval()
+
+    batch_t = _batch(rng)
+    # snapshot BEFORE the torch forward: the reference model mutates
+    # pts_sub_sample_ms in place (`-=` through a transposed view,
+    # points_to_surf_model.py:303)
+    batch_np = {k: v.numpy().copy() for k, v in batch_t.items()}
+    with torch.no_grad():
+        want = tm(batch_t).numpy()
+
+    params, batch_stats = convert_state_dict(tm.state_dict())
+    jm = PointsToSurfModel(
+        net_size_max=cfg["net_size_max"],
+        output_dim=cfg["output_dim"],
+        use_point_stn=bool(cfg["use_point_stn"]),
+        use_feat_stn=bool(cfg["use_feat_stn"]),
+        sym_op=cfg["sym_op"],
+        single_transformer=bool(cfg["single_transformer"]),
+        shared_transformation=bool(cfg["shared_transformation"]),
+    )
+    batch_j = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    got = np.asarray(
+        jm.apply(
+            {"params": params, "batch_stats": batch_stats}, batch_j, False
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_converted_tree_matches_init_structure(rng):
+    """Converted pytree must align leaf-for-leaf with a fresh init."""
+    import jax
+    import jax.numpy as jnp
+
+    from points2surf_tpu.models.import_torch import convert_state_dict
+    from points2surf_tpu.models.p2s import PointsToSurfModel
+
+    tm, cfg = _torch_model()
+    params, batch_stats = convert_state_dict(tm.state_dict())
+
+    jm = PointsToSurfModel(
+        net_size_max=cfg["net_size_max"], output_dim=cfg["output_dim"]
+    )
+    dummy = {
+        "patch_pts_ps": jnp.zeros((2, 24, 3)),
+        "pts_sub_sample_ms": jnp.zeros((2, 32, 3)),
+        "imp_surf_query_point_ms": jnp.zeros((2, 3)),
+    }
+    variables = jm.init(jax.random.key(0), dummy, False)
+
+    def paths(tree):
+        return {
+            jax.tree_util.keystr(p): l.shape
+            for p, l in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    assert paths(params) == paths(variables["params"])
+    assert paths(batch_stats) == paths(variables["batch_stats"])
+
+
+def test_dataparallel_prefix_stripped(rng):
+    from points2surf_tpu.models.import_torch import convert_state_dict
+
+    tm, _ = _torch_model()
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    params, batch_stats = convert_state_dict(sd)
+    assert "feat_global" in params

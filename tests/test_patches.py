@@ -16,7 +16,7 @@ def test_knn_patch_matches_reference_pipeline(rng):
     pts = _cloud(rng)
     q = _cloud(rng, 5)
     cfg = PatchConfig(points_per_patch=32, patch_radius=0.0,
-                      sub_sample_size=64, chunk=512)
+                      sub_sample_size=64)
     out = extract_patches(
         jnp.asarray(pts), jnp.asarray(q), pts.shape[0], jax.random.key(0),
         cfg=cfg, train=False,
@@ -43,7 +43,7 @@ def test_ball_patch_pads_with_query(rng):
     pts = _cloud(rng)
     q = np.array([[0.75, 0.75, 0.75]], np.float32)  # sparse corner
     cfg = PatchConfig(points_per_patch=64, patch_radius=0.05,
-                      sub_sample_size=0, chunk=512)
+                      sub_sample_size=0)
     out = extract_patches(
         jnp.asarray(pts), jnp.asarray(q), pts.shape[0], jax.random.key(0),
         cfg=cfg, train=False,
@@ -61,7 +61,7 @@ def test_ball_patch_pads_with_query(rng):
 def test_train_mode_applies_consistent_rotation(rng):
     pts = _cloud(rng)
     q = _cloud(rng, 3)
-    cfg = PatchConfig(points_per_patch=16, sub_sample_size=32, chunk=512)
+    cfg = PatchConfig(points_per_patch=16, sub_sample_size=32)
     key = jax.random.key(7)
     a = extract_patches(jnp.asarray(pts), jnp.asarray(q), pts.shape[0], key,
                         cfg=cfg, train=False)
@@ -92,7 +92,7 @@ def test_train_mode_applies_consistent_rotation(rng):
 def test_batch_keys_and_shapes(rng):
     pts = _cloud(rng, 600)
     q = _cloud(rng, 9)
-    cfg = PatchConfig(points_per_patch=20, sub_sample_size=30, chunk=256)
+    cfg = PatchConfig(points_per_patch=20, sub_sample_size=30)
     out = extract_patches(
         jnp.asarray(pts), jnp.asarray(q), 600, jax.random.key(0),
         cfg=cfg, train=True,
