@@ -1,0 +1,62 @@
+"""Dataset generation entry point (reference make_dataset.py __main__).
+
+Usage:
+  python -m points2surf_tpu.cli.make_dataset --name mydataset \\
+      [--base_dir datasets] [--num_query_pts 2000] [--workers 4] \\
+      [--scanner native|blensor --blensor_bin <path>]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(args=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", required=True, help="dataset dir name")
+    p.add_argument("--base_dir", default="datasets")
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--num_query_pts", type=int, default=2000)
+    p.add_argument("--num_max_faces", type=int, default=50000)
+    p.add_argument("--far_query_pts_ratio", type=float, default=0.1)
+    p.add_argument("--scanner", default="native",
+                   choices=["native", "blensor"])
+    p.add_argument("--blensor_bin", default="blensor/blender")
+    p.add_argument("--debug", type=int, default=0)
+    p.add_argument("--pc_only", type=int, default=0,
+                   help="1: point-cloud-only dataset (make_pc_dataset)")
+    p.add_argument("--target_num_points", type=int, default=50000)
+    a = p.parse_args(args)
+
+    if a.pc_only:
+        from points2surf_tpu.datagen.make_pc_dataset import make_pc_dataset
+
+        make_pc_dataset(a.name, base_dir=a.base_dir,
+                        target_num_points=a.target_num_points,
+                        num_processes=a.workers)
+        return
+
+    if a.scanner == "blensor":
+        from points2surf_tpu.datagen import blensor
+        from points2surf_tpu.datagen.make_dataset import read_settings
+
+        s = read_settings(a.base_dir, a.name)
+        scripts = blensor.write_blensor_scripts(
+            a.base_dir, a.name, "03_meshes", "04_pcd", "04_blensor_py",
+            s["num_scans_per_mesh_min"], s["num_scans_per_mesh_max"],
+            s["scanner_noise_sigma_min"], s["scanner_noise_sigma_max"],
+        )
+        blensor.run_blensor(a.blensor_bin, scripts, a.workers)
+        return
+
+    from points2surf_tpu.datagen.make_dataset import make_dataset
+
+    make_dataset(
+        a.name, base_dir=a.base_dir, num_processes=a.workers,
+        num_query_pts=a.num_query_pts, num_max_faces=a.num_max_faces,
+        far_query_pts_ratio=a.far_query_pts_ratio, debug=bool(a.debug),
+    )
+
+
+if __name__ == "__main__":
+    main()

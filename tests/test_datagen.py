@@ -1,0 +1,116 @@
+import configparser
+import os
+
+import numpy as np
+import pytest
+
+from points2surf_tpu.datagen import make_dataset as mk
+from points2surf_tpu.datagen import scanner
+from points2surf_tpu.ops.marching_cubes import marching_tetrahedra
+from points2surf_tpu.utils import mesh_io
+from points2surf_tpu.utils.mesh import Mesh
+
+
+def _analytic_mesh(kind, res=24):
+    lin = np.linspace(-1, 1, res, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    if kind == "sphere":
+        vol = 0.5 - np.sqrt(x * x + y * y + z * z)
+    elif kind == "box":
+        vol = 0.4 - np.abs(np.stack([x, y, z])).max(axis=0)
+    else:  # ellipsoid
+        vol = 0.5 - np.sqrt(x * x + (y / 0.6) ** 2 + (z / 0.8) ** 2)
+    v, f = marching_tetrahedra(vol.astype(np.float32), 0.0)
+    v = v / (res - 1) * 2.0 - 1.0
+    return Mesh(v.astype(np.float32), f)
+
+
+@pytest.fixture(scope="module")
+def raw_dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rawds")
+    base = str(d)
+    os.makedirs(os.path.join(base, "testds", "00_base_meshes"))
+    for kind in ("sphere", "box", "ellipsoid"):
+        m = _analytic_mesh(kind)
+        mesh_io.write_off(
+            os.path.join(base, "testds", "00_base_meshes", kind + ".off"),
+            m.vertices, m.faces,
+        )
+    cfg = configparser.ConfigParser()
+    cfg["general"] = {
+        "only_for_evaluation": "0",
+        "grid_resolution": "64",
+        "epsilon": "3",
+        "num_scans_per_mesh_min": "3",
+        "num_scans_per_mesh_max": "5",
+        "scanner_noise_sigma_min": "0.0",
+        "scanner_noise_sigma_max": "0.0",
+    }
+    with open(os.path.join(base, "testds", "settings.ini"), "w") as f:
+        cfg.write(f)
+    return base
+
+
+def test_scanner_hits_sphere(rng):
+    mesh = _analytic_mesh("sphere")
+    locs, rots, sigma = scanner.scan_poses("dummy.ply", 3, 5, 0.0, 0.02)
+    assert 3 <= len(locs) <= 5
+    assert 0.0 <= sigma <= 0.02
+    pts, normals, hits = scanner.scan_mesh(
+        mesh, locs[:2], rots[:2], 0.0, res_x=44, res_y=36
+    )
+    assert pts.shape[0] > 200
+    assert pts.shape == normals.shape
+    # all scan points lie on the sphere surface
+    r = np.linalg.norm(pts, axis=1)
+    np.testing.assert_allclose(r, 0.5, atol=0.02)
+    # normals roughly radial
+    cos = np.abs(np.einsum("ij,ij->i", normals, pts / r[:, None]))
+    assert cos.mean() > 0.95
+    assert sum(hits) == pts.shape[0]
+
+
+def test_scan_poses_deterministic():
+    a = scanner.scan_poses("x/mesh_01.ply", 5, 30, 0.0, 0.05)
+    b = scanner.scan_poses("y/mesh_01.ply", 5, 30, 0.0, 0.05)  # same basename
+    np.testing.assert_array_equal(a[0], b[0])
+    c = scanner.scan_poses("x/mesh_02.ply", 5, 30, 0.0, 0.05)
+    assert a[0].shape != c[0].shape or not np.allclose(a[0], c[0])
+
+
+@pytest.mark.slow
+def test_make_dataset_pipeline(raw_dataset, monkeypatch):
+    # shrink the scanner for test speed
+    monkeypatch.setattr(scanner, "TOF_RES_X", 44)
+    monkeypatch.setattr(scanner, "TOF_RES_Y", 36)
+    mk.make_dataset("testds", base_dir=raw_dataset, num_processes=1,
+                    num_query_pts=500)
+
+    ds = os.path.join(raw_dataset, "testds")
+    for sub in ("01_base_meshes_ply", "02_meshes_cleaned", "03_meshes",
+                "04_pts", "05_query_pts", "05_query_dist"):
+        assert os.path.isdir(os.path.join(ds, sub)), sub
+
+    pts_files = sorted(os.listdir(os.path.join(ds, "04_pts")))
+    assert len(pts_files) == 3
+    pts = np.load(os.path.join(ds, "04_pts", pts_files[0]))
+    assert pts.shape[1] == 6 and pts.dtype == np.float32  # xyz + normals
+    assert np.abs(pts[:, :3]).max() <= 0.75  # normalized mesh + margin
+
+    # GT signed distances of the sphere must match the analytic SDF
+    qp = np.load(os.path.join(ds, "05_query_pts", "sphere.ply.npy"))
+    qd = np.load(os.path.join(ds, "05_query_dist", "sphere.ply.npy"))
+    # normalized sphere: diameter 1 -> radius 0.5 after unit-cube scaling
+    want = 0.5 - np.linalg.norm(qp, axis=1)
+    np.testing.assert_allclose(qd, want, atol=0.05)
+
+    for split in ("trainset.txt", "valset.txt", "testset.txt"):
+        assert os.path.isfile(os.path.join(ds, split))
+
+    # resumability: second run is a no-op (mtimes satisfied)
+    import time
+
+    t0 = time.time()
+    mk.make_dataset("testds", base_dir=raw_dataset, num_processes=1,
+                    num_query_pts=500)
+    assert time.time() - t0 < 5.0
