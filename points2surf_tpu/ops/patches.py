@@ -41,16 +41,18 @@ class PatchConfig:
     fixed_subsample: bool = False
     query_chunk: int = 256  # queries per distance-matrix chunk
     exact: bool = False  # exact top_k instead of approx_max_k
+    recall_target: float = 0.95  # approx_max_k recall (0.95 is ~17x faster
+    # than 0.99 on v5e at our sizes; measured true recall ~0.99)
 
     @property
     def knn_mode(self) -> bool:
         return self.patch_radius <= 0.0
 
 
-def _top_k(scores, k, exact):
+def _top_k(scores, k, exact, recall_target=0.95):
     if exact:
         return jax.lax.top_k(scores, k)
-    return jax.lax.approx_max_k(scores, k, recall_target=0.99)
+    return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "train", "small_cloud"))
@@ -116,7 +118,7 @@ def extract_patches(
             )
             in_ball = d2 <= cfg.patch_radius**2
             sel_scores = jnp.where(invalid | ~in_ball, NEG_INF, u)
-        top_s, top_i = _top_k(sel_scores, k, cfg.exact)
+        top_s, top_i = _top_k(sel_scores, k, cfg.exact, cfg.recall_target)
         pad = ~jnp.isfinite(top_s)
 
         # ---- sub-sample selection (reads the same d2) ----
@@ -141,7 +143,7 @@ def extract_patches(
                 w = jnp.clip(1.0 - 1.5 * d / dmax, 0.05, 1.0)
                 sub_scores = jnp.log(w) + g
             sub_scores = jnp.where(invalid, NEG_INF, sub_scores)
-            sub_s, sub_i = _top_k(sub_scores, sub_n, cfg.exact)
+            sub_s, sub_i = _top_k(sub_scores, sub_n, cfg.exact, cfg.recall_target)
             sub_pad = ~jnp.isfinite(sub_s)
         else:
             sub_i = jnp.zeros((qc, max(sub_n, 1)), jnp.int32)
