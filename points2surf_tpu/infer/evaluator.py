@@ -1,9 +1,10 @@
 """Evaluation / reconstruction driver (reference source/points_to_surf_eval.py).
 
 Evaluates the trained SDF regressor over GT query points (eval mode) or over
-all near-surface grid voxel centers (reconstruction mode), streaming
-fixed-size query batches through the fused on-device patch extractor + model
-forward, and accumulating per-shape predictions across batch boundaries.
+all near-surface grid voxel centers (reconstruction mode). The inner loop is
+the fused single-program SDF query (infer/query.py): per shape, fixed-size
+query batches stream through patch extraction + forward + post-processing in
+one XLA dispatch, and model-space distances accumulate on host.
 """
 
 from __future__ import annotations
@@ -14,10 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from points2surf_tpu.data.pipeline import PatchPipeline
-from points2surf_tpu.data.samplers import SequentialPatchSampler
 from points2surf_tpu.data.shapes import ShapeStore
-from points2surf_tpu.models import losses as L
+from points2surf_tpu.infer.query import make_sdf_query_fn
 from points2surf_tpu.ops.patches import PatchConfig
 from points2surf_tpu.train import checkpoint as ckpt
 from points2surf_tpu.train.trainer import build_model, output_spec
@@ -36,18 +35,10 @@ def visualize_query_points(query_pts_ms, query_dist_ms, file_out):
     mesh_io.write_ply(file_out, query_pts_ms, colors=colors)
 
 
-def get_output_ids(outputs):
-    """(reference points_to_surf_eval.py:68-78)"""
-    return {
-        "imp": [i for i, o in enumerate(outputs) if o == "imp_surf"],
-        "ism": [i for i, o in enumerate(outputs) if o == "imp_surf_magnitude"],
-        "iss": [i for i, o in enumerate(outputs) if o == "imp_surf_sign"],
-    }
-
-
 def post_process(pred: np.ndarray, outputs, patch_radius, fixed_radius):
     """tanh^2 scaling back to model space + sign binarization
-    (reference points_to_surf_eval.py:174-196). pred modified out-of-place."""
+    (reference points_to_surf_eval.py:174-196). Kept for API parity and
+    tests; the fused query path applies the same math on device."""
     pred = np.asarray(pred).copy()
     dim = 0
     for o in outputs:
@@ -69,33 +60,42 @@ def post_process(pred: np.ndarray, outputs, patch_radius, fixed_radius):
     return pred
 
 
-def points_to_surf_eval(eval_opt):
-    models = eval_opt.models.split()
+def load_model_for_eval(eval_opt, model_name):
+    """Load params json + checkpoint -> (model, params, batch_stats,
+    train_opt). Accepts reference .pth checkpoints transparently."""
+    model_file = os.path.join(
+        eval_opt.modeldir, model_name + eval_opt.modelpostfix
+    )
+    param_file = os.path.join(
+        eval_opt.modeldir, model_name + eval_opt.parampostfix
+    )
+    if param_file.endswith(".pth"):
+        from points2surf_tpu.models.import_torch import (
+            convert_params_namespace,
+        )
 
-    for model_name in models:
-        print(f"Random Seed: {eval_opt.seed}")
-        model_file = os.path.join(
-            eval_opt.modeldir, model_name + eval_opt.modelpostfix
-        )
-        param_file = os.path.join(
-            eval_opt.modeldir, model_name + eval_opt.parampostfix
-        )
+        train_opt = convert_params_namespace(param_file)
+    else:
         train_opt = ckpt.load_params_namespace(param_file)
-        # backward-compat defaults (reference eval.py:317-320)
-        for attr, default in (
-            ("single_transformer", 0),
-            ("shared_transformer", 0),
-            ("uniform_subsample", 0),
-            ("fixed_subsample", 0),
-            ("net_size", 1024),
-        ):
-            if not hasattr(train_opt, attr):
-                setattr(train_opt, attr, default)
+    # backward-compat defaults (reference eval.py:317-320)
+    for attr, default in (
+        ("single_transformer", 0),
+        ("shared_transformer", 0),
+        ("uniform_subsample", 0),
+        ("fixed_subsample", 0),
+        ("net_size", 1024),
+    ):
+        if not hasattr(train_opt, attr):
+            setattr(train_opt, attr, default)
 
-        pred_dim, _, _ = output_spec(train_opt.outputs)
-        model = build_model(train_opt, pred_dim)
+    pred_dim, _, _ = output_spec(train_opt.outputs)
+    model = build_model(train_opt, pred_dim)
 
-        # template init + checkpoint load
+    if model_file.endswith(".pth"):
+        from points2surf_tpu.models.import_torch import load_torch_checkpoint
+
+        params, batch_stats = load_torch_checkpoint(model_file)
+    else:
         dummy = {
             "patch_pts_ps": jnp.zeros((2, train_opt.points_per_patch, 3)),
             "pts_sub_sample_ms": jnp.zeros(
@@ -110,7 +110,17 @@ def points_to_surf_eval(eval_opt):
         }
         state = ckpt.load_state(model_file, template)
         params, batch_stats = state["params"], state["batch_stats"]
+    return model, params, batch_stats, train_opt
 
+
+def points_to_surf_eval(eval_opt):
+    models = eval_opt.models.split()
+
+    for model_name in models:
+        print(f"Random Seed: {eval_opt.seed}")
+        model, params, batch_stats, train_opt = load_model_for_eval(
+            eval_opt, model_name
+        )
         batch_size = (
             eval_opt.batchSize if eval_opt.batchSize else train_opt.batchSize
         )
@@ -134,106 +144,84 @@ def points_to_surf_eval(eval_opt):
         )
         # the reference augments any non-reconstruction pass
         # (data_loader.py:381-393)
-        pipe = PatchPipeline(
-            store,
-            patch_cfg,
+        query_fn = make_sdf_query_fn(
+            model, tuple(train_opt.outputs), patch_cfg, fixed_radius,
             augment=not eval_opt.reconstruction,
-            seed=eval_opt.seed,
         )
-        sampler = SequentialPatchSampler(store.shape_patch_count)
 
         model_out_dir = os.path.join(
             eval_opt.outdir, "rec" if eval_opt.reconstruction else "eval"
         )
         os.makedirs(model_out_dir, exist_ok=True)
 
-        @jax.jit
-        def forward(batch):
-            return model.apply(
-                {"params": params, "batch_stats": batch_stats}, batch, False
-            )
-
+        rng = np.random.RandomState(eval_opt.seed)
+        base_key = jax.random.key(eval_opt.seed)
         print(f"evaluating {store.total_patch_count} patches")
-        shape_ind = 0
-        shape_offset = 0
-        shape_count = store.shape_patch_count[shape_ind]
-        shape_values = np.zeros((shape_count, pred_dim), np.float32)
+        step = 0
+        for shape_ind, name in enumerate(store.shape_names):
+            shape = store.get(shape_ind)
+            pts_dev, n_valid = store.device_points(shape_ind)
+            small = n_valid < max(train_opt.sub_sample_size, 1)
+            queries = shape.query_pts
+            patch_inds = None
+            if eval_opt.sampling == "sequential_shapes_random_patches":
+                take = min(eval_opt.patches_per_shape, len(queries))
+                patch_inds = rng.choice(len(queries), take, replace=False)
+                queries = queries[patch_inds]
+            elif eval_opt.sampling != "full":
+                raise ValueError(
+                    f"Unknown sampling strategy: {eval_opt.sampling}"
+                )
 
-        for batch in pipe.batches(iter(sampler), batch_size, with_gt=False):
-            pred = forward(batch)
-            radius = np.asarray(batch["patch_radius_ms"])
-            pred_np = post_process(
-                np.asarray(pred), train_opt.outputs, radius, fixed_radius
-            )
-
-            batch_offset = 0
-            n = pred_np.shape[0]
-            while batch_offset < n:
-                take = min(shape_count - shape_offset, n - batch_offset)
-                shape_values[shape_offset : shape_offset + take] = pred_np[
-                    batch_offset : batch_offset + take
-                ]
-                batch_offset += take
-                shape_offset += take
-                if shape_offset == shape_count:
-                    _save_shape(
-                        store, shape_ind, shape_values, train_opt, eval_opt,
-                        model_out_dir,
+            dists = np.empty(len(queries), np.float32)
+            for s in range(0, len(queries), batch_size):
+                q = queries[s : s + batch_size]
+                n_q = len(q)
+                if n_q < batch_size:
+                    q = np.concatenate(
+                        [q, np.repeat(q[:1], batch_size - n_q, axis=0)]
                     )
-                    if shape_ind + 1 < len(store.shape_names):
-                        shape_ind += 1
-                        shape_offset = 0
-                        shape_count = store.shape_patch_count[shape_ind]
-                        shape_values = np.zeros(
-                            (shape_count, pred_dim), np.float32
-                        )
+                step += 1
+                d = query_fn(
+                    params, batch_stats, pts_dev, jnp.asarray(q), n_valid,
+                    jax.random.fold_in(base_key, step),
+                    small_cloud=small,
+                )
+                dists[s : s + n_q] = np.asarray(d)[:n_q]
+
+            _save_shape(store, shape_ind, dists, eval_opt, model_out_dir)
+            if patch_inds is not None:
+                np.savetxt(
+                    os.path.join(model_out_dir, name + ".idx"),
+                    patch_inds, fmt="%d",
+                )
 
 
-def _save_shape(store, shape_ind, shape_values, train_opt, eval_opt,
-                model_out_dir):
+def _save_shape(store, shape_ind, dist, eval_opt, model_out_dir):
     """Write per-shape predictions (reference eval.py:199-294)."""
-    outputs = train_opt.outputs
-    ids = get_output_ids(outputs)
-    pred_dims = []
-    d = 0
-    for o in outputs:
-        if o in ("imp_surf", "imp_surf_magnitude", "imp_surf_sign"):
-            pred_dims.append(d)
-            d += 1
-        else:
-            pred_dims.append(d)
-
     name = store.shape_names[shape_ind]
-    if len(ids["imp"]) == 1:
-        dist = shape_values[:, pred_dims[ids["imp"][0]]]
-    elif len(ids["ism"]) == 1 and len(ids["iss"]) == 1:
-        mag = shape_values[:, pred_dims[ids["ism"][0]]]
-        sign = shape_values[:, pred_dims[ids["iss"][0]]]
-        dist = mag * sign
-    else:
-        raise ValueError("No implicit surface outputs to save.")
+    shape = store.get(shape_ind)
+    queries = shape.query_pts
 
     if eval_opt.reconstruction:
-        shape = store.get(shape_ind)
         # NaN -> 1.0 (tanh cannot produce > 1; reference eval.py:205-207)
         dist = np.where(np.isnan(dist), 1.0, dist)
         qdir = os.path.join(model_out_dir, "query_pts_ms")
         ddir = os.path.join(model_out_dir, "dist_ms")
         os.makedirs(qdir, exist_ok=True)
         os.makedirs(ddir, exist_ok=True)
-        np.save(os.path.join(qdir, name + ".xyz.npy"), shape.query_pts)
+        np.save(os.path.join(qdir, name + ".xyz.npy"), queries)
         np.save(os.path.join(ddir, name + ".xyz.npy"), dist)
         vdir = os.path.join(model_out_dir, "query_pts_ms_vis")
         os.makedirs(vdir, exist_ok=True)
         visualize_query_points(
-            shape.query_pts, dist, os.path.join(vdir, name + ".ply")
+            queries, dist, os.path.join(vdir, name + ".ply")
         )
     else:
         edir = os.path.join(model_out_dir, "eval")
         os.makedirs(edir, exist_ok=True)
         np.save(os.path.join(edir, name + ".xyz.npy"), dist)
         np.savetxt(os.path.join(edir, name + ".xyz.txt"), dist)
-        shape = store.get(shape_ind)
         vis = os.path.join(model_out_dir, "vis", name + ".ply")
         file_utils.make_dir_for_file(vis)
-        visualize_query_points(shape.query_pts, dist, vis)
+        visualize_query_points(queries, dist, vis)

@@ -65,3 +65,46 @@ def test_empty_and_full_fields():
     vol = np.full((8, 8, 8), 1.0, np.float32)
     verts, faces = marching_tetrahedra(vol, 0.0)
     assert len(verts) == 0 and len(faces) == 0
+
+
+def test_native_matches_numpy(rng):
+    import pytest
+
+    try:
+        from points2surf_tpu.ops import marching_native
+
+        v_n, f_n = marching_native.marching_tetrahedra(
+            _sphere_field(24, 0.4), 0.0
+        )
+    except Exception as e:
+        pytest.skip(f"native kernel unavailable: {e}")
+    v_p, f_p = marching_tetrahedra(_sphere_field(24, 0.4), 0.0)
+    assert len(v_n) == len(v_p)
+    assert len(f_n) == len(f_p)
+    # same vertex set (ordering may differ)
+    sn = np.asarray(sorted(map(tuple, np.round(v_n, 5))))
+    sp = np.asarray(sorted(map(tuple, np.round(v_p, 5))))
+    np.testing.assert_allclose(sn, sp, atol=1e-5)
+    # watertight
+    edges = np.concatenate(
+        [f_n[:, [0, 1]], f_n[:, [1, 2]], f_n[:, [2, 0]]], axis=0
+    )
+    _, counts = np.unique(np.sort(edges, 1), axis=0, return_counts=True)
+    assert (counts == 2).all()
+
+
+def test_native_speed_large_volume(rng):
+    import time
+
+    import pytest
+
+    try:
+        from points2surf_tpu.ops import marching_native
+    except Exception as e:
+        pytest.skip(f"native kernel unavailable: {e}")
+    vol = _sphere_field(192, 0.45)
+    t0 = time.time()
+    v, f = marching_native.marching_tetrahedra(vol, 0.0)
+    t_native = time.time() - t0
+    assert len(f) > 100000
+    assert t_native < 10.0
