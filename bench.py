@@ -27,17 +27,9 @@ BASELINE_QPS = 6500.0
 def main():
     import jax
 
-    # persistent compilation cache: repeated bench runs skip the ~minutes
-    # of XLA compilation for the fused query program
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from points2surf_tpu.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax.numpy as jnp
     import numpy as np

@@ -70,6 +70,9 @@ def full_eval(opt):
 
 
 def main(args=None):
+    from points2surf_tpu.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
     from points2surf_tpu.cli.eval_args import parse_arguments
 
     full_eval(parse_arguments(args))

@@ -135,6 +135,9 @@ def full_run(
 
 
 def main():
+    from points2surf_tpu.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--base_dir", default="datasets")
     p.add_argument("--dataset", default="abc_minimal")

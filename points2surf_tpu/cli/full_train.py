@@ -44,6 +44,9 @@ def points_to_surf_train(opt):
 
 
 def main(args=None):
+    from points2surf_tpu.utils.jaxcfg import enable_compilation_cache
+
+    enable_compilation_cache()
     from points2surf_tpu.cli.train_args import parse_arguments
 
     opt = parse_arguments(args)

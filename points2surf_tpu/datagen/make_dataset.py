@@ -393,3 +393,54 @@ def make_dataset(dataset_name, base_dir="datasets", num_processes=4,
         )
     make_dataset_splits(base_dir, dataset_name, "04_pts",
                         only_test_set=only_eval)
+
+
+def write_dataset_csv(base_dir, dataset_dir, pts_dir="04_pts",
+                      out_file="dataset_stats.csv"):
+    """Per-shape point-count stats CSV (reference make_dataset.py:620-646)."""
+    pts_abs = os.path.join(base_dir, dataset_dir, pts_dir)
+    rows = ["pts_file,num_points"]
+    for f in sorted(os.listdir(pts_abs)):
+        if f.endswith(".npy"):
+            n = np.load(os.path.join(pts_abs, f), mmap_mode="r").shape[0]
+            rows.append(f"{f},{n}")
+    csv_file = os.path.join(base_dir, dataset_dir, out_file)
+    with open(csv_file, "w") as fh:
+        fh.write("\n".join(rows))
+    return csv_file
+
+
+def reconstruct_gt(base_dir, dataset_dir, grid_resolution=128, sigma=5,
+                   certainty_threshold=13, num_query_pts=100000,
+                   far_query_pts_ratio=0.1):
+    """GT round-trip self-test: mesh the ground-truth SDF samples to
+    validate splat/propagate/marching independently of any network
+    (reference make_dataset.py:649-712). Writes 06_reconstruction_gt/."""
+    from points2surf_tpu.infer.meshing import implicit_surface_to_mesh
+    from points2surf_tpu.ops.meshdist import signed_distance
+
+    d_mesh = os.path.join(base_dir, dataset_dir, "03_meshes")
+    d_out = os.path.join(base_dir, dataset_dir, "06_reconstruction_gt")
+    os.makedirs(d_out, exist_ok=True)
+    patch_radius = get_patch_radius(grid_resolution, 3)
+    for f in sorted(os.listdir(d_mesh)):
+        if not f.endswith(".ply"):
+            continue
+        mesh_file = os.path.join(d_mesh, f)
+        vol_out = os.path.join(d_out, f[:-4] + ".off")
+        mesh_out = os.path.join(d_out, f[:-4] + ".ply")
+        if not file_utils.call_necessary(mesh_file, [mesh_out]):
+            continue
+        rng = np.random.RandomState(file_utils.filename_to_hash(mesh_file))
+        v, faces = mesh_io.load_mesh(mesh_file)
+        mesh = Mesh(v, faces)
+        query = get_query_pts_for_mesh(
+            mesh, num_query_pts, patch_radius, far_query_pts_ratio, rng
+        ).astype(np.float32)
+        dist = signed_distance(mesh.vertices, mesh.faces, query)
+        dist = np.clip(np.nan_to_num(dist, nan=0.0, posinf=1.0, neginf=1.0),
+                       -1.0, 1.0)
+        implicit_surface_to_mesh(
+            dist.astype(np.float32), query, vol_out, mesh_out,
+            grid_resolution, sigma, certainty_threshold,
+        )

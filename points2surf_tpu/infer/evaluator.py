@@ -173,7 +173,9 @@ def points_to_surf_eval(eval_opt):
                     f"Unknown sampling strategy: {eval_opt.sampling}"
                 )
 
-            dists = np.empty(len(queries), np.float32)
+            # dispatch all batches asynchronously; fetch once at shape end
+            # (a per-batch host sync costs a full device round-trip each)
+            pending = []
             for s in range(0, len(queries), batch_size):
                 q = queries[s : s + batch_size]
                 n_q = len(q)
@@ -187,6 +189,9 @@ def points_to_surf_eval(eval_opt):
                     jax.random.fold_in(base_key, step),
                     small_cloud=small,
                 )
+                pending.append((s, n_q, d))
+            dists = np.empty(len(queries), np.float32)
+            for s, n_q, d in pending:
                 dists[s : s + n_q] = np.asarray(d)[:n_q]
 
             _save_shape(store, shape_ind, dists, eval_opt, model_out_dir)

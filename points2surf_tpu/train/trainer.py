@@ -293,6 +293,11 @@ class Trainer:
             1, math.ceil(len(self.test_sampler) / opt.batchSize)
         )
 
+        # opt-in profiler trace (aux subsystem; SURVEY §5 'tracing'):
+        # set P2S_PROFILE_DIR to capture a jax.profiler trace of steps 5-10
+        profile_dir = os.environ.get("P2S_PROFILE_DIR", "")
+        profile_window = (5, 10) if profile_dir else None
+
         for epoch in range(self.start_epoch, opt.nepoch):
             t_epoch = time.time()
             test_iter = self.test_pipe.batches(
@@ -304,6 +309,12 @@ class Trainer:
             for batchind, batch in enumerate(
                 self.train_pipe.batches(iter(self.train_sampler), opt.batchSize)
             ):
+                if profile_window is not None:
+                    if self.global_step == profile_window[0]:
+                        jax.profiler.start_trace(profile_dir)
+                    elif self.global_step == profile_window[1]:
+                        jax.profiler.stop_trace()
+                        profile_window = None
                 batch = shard_batch(batch, self.mesh)
                 (
                     self.params,

@@ -289,3 +289,35 @@ def load_mesh(path: str):
     if lower.endswith(".ply"):
         return read_ply(path)
     raise ValueError(f"unsupported mesh format: {path}")
+
+
+# ---------------------------------------------------------------- PCD ----
+
+
+def load_pcd(file_in: str):
+    """BlenSor ASCII PCD reader (reference point_cloud.py:107-163).
+
+    Returns (points (N, 3) float64, header dict); NaN rows (missed rays)
+    are dropped.
+    """
+    with open(file_in) as f:
+        lines = f.readlines()
+    header_lines = lines[:11]
+    expected = ["#", "VERSION", "FIELDS", "SIZE", "TYPE", "COUNT", "WIDTH",
+                "HEIGHT", "VIEWPOINT", "POINTS", "DATA"]
+    header = {}
+    for ln, field in zip(header_lines, expected):
+        parts = ln.split(" ")
+        if parts[0] != field:
+            raise ValueError(f'"{field}" expected but not found in pcd header')
+        header[field] = " ".join(parts[1:]).strip()
+    header["_file_"] = file_in
+    rows = []
+    for ln in lines[11:]:
+        t = ln.split(" ")[:3]
+        if len(t) < 3:
+            continue
+        x, y, z = float(t[0]), float(t[1]), float(t[2])
+        if x == x and y == y and z == z:  # NaN filter
+            rows.append((x, y, z))
+    return np.asarray(rows, np.float64), header
