@@ -39,10 +39,19 @@ class PatchConfig:
     sub_sample_size: int = 1000
     uniform_subsample: bool = False
     fixed_subsample: bool = False
-    query_chunk: int = 256  # queries per distance-matrix chunk
+    query_chunk: int = 0  # queries per distance-matrix chunk; 0 = auto
+    # (as many as fit the transient-memory budget — fewer, larger chunks
+    # beat a serialized lax.map by >10x)
     exact: bool = False  # exact top_k instead of approx_max_k
     recall_target: float = 0.95  # approx_max_k recall (0.95 is ~17x faster
     # than 0.99 on v5e at our sizes; measured true recall ~0.99)
+    chunk_budget_bytes: int = 4 << 30  # transient (qc, N) working-set cap
+    subsample_candidates: int = 8  # Gumbel sub-sampling first uniformly
+    # decimates the cloud to `subsample_candidates * sub_sample_size`
+    # columns (min 8192) before the weighted draw — the weighted top-k over
+    # the full cloud costs 7x more for a statistically equivalent sample
+    # (the reference itself accepts with-replacement shortcuts for large
+    # clouds, utils.py:214-216). 0 disables; `exact` also disables.
 
     @property
     def knn_mode(self) -> bool:
@@ -91,9 +100,16 @@ def extract_patches(
     n = points.shape[0]
     k = cfg.points_per_patch
     sub_n = cfg.sub_sample_size
-    qc = min(cfg.query_chunk, b)
-    if b % qc != 0:
-        qc = b  # single chunk for odd sizes
+    if cfg.query_chunk > 0:
+        qc = min(cfg.query_chunk, b)
+    else:
+        # auto: ~4 transient (qc, N) f32 arrays must fit the budget; 512
+        # is the measured sweet spot for the top-k reductions (smaller
+        # chunks keep the sort working set in VMEM, larger ones spill)
+        qc = max(256, min(512, cfg.chunk_budget_bytes // (16 * n)))
+        qc = min(qc, b)
+    while b % qc != 0:  # shrink to a divisor of b
+        qc -= 1
     k_sel, k_sub, k_aug = jax.random.split(key, 3)
     sub_key = jax.random.key(42) if cfg.fixed_subsample else k_sub
     # utils.py:210-211 pins the sub-sample RNG to seed 42 in fixed mode
@@ -123,11 +139,38 @@ def extract_patches(
 
         # ---- sub-sample selection (reads the same d2) ----
         if want_gumbel_sub:
+            # optional uniform decimation of the candidate columns: the
+            # weighted draw over a dense uniform thinning is statistically
+            # equivalent for n_cand >> sub_n and ~7x cheaper than the
+            # full-cloud weighted top-k
+            n_cand_target = max(8192, cfg.subsample_candidates * sub_n)
+            decimate = (
+                not cfg.exact
+                and not small_cloud
+                and cfg.subsample_candidates > 0
+                and n > 2 * n_cand_target
+            )
+            if decimate:
+                stride = n // n_cand_target
+                n_cand = n // stride
+                offset = jax.random.randint(
+                    jax.random.fold_in(sub_key, 10_000 + ci), (), 0, stride
+                )
+                cols = offset + stride * jax.lax.broadcasted_iota(
+                    jnp.int32, (n_cand,), 0
+                )
+                d2_sub = d2[:, cols]
+                invalid_sub = (cols >= n_valid)[None, :]
+            else:
+                n_cand = n
+                cols = None
+                d2_sub = d2
+                invalid_sub = invalid
             g = -jnp.log(
                 -jnp.log(
                     jax.random.uniform(
                         jax.random.fold_in(sub_key, ci),
-                        (qc, n),
+                        (qc, n_cand),
                         minval=jnp.finfo(jnp.float32).tiny,
                         maxval=1.0,
                     )
@@ -136,14 +179,16 @@ def extract_patches(
             if small_cloud or cfg.uniform_subsample:
                 sub_scores = g  # plain shuffle (small-cloud path)
             else:
-                d = jnp.sqrt(d2)
+                d = jnp.sqrt(d2_sub)
                 dmax = jnp.max(
-                    jnp.where(invalid, NEG_INF, d), axis=1, keepdims=True
+                    jnp.where(invalid_sub, NEG_INF, d), axis=1, keepdims=True
                 )
                 w = jnp.clip(1.0 - 1.5 * d / dmax, 0.05, 1.0)
                 sub_scores = jnp.log(w) + g
-            sub_scores = jnp.where(invalid, NEG_INF, sub_scores)
+            sub_scores = jnp.where(invalid_sub, NEG_INF, sub_scores)
             sub_s, sub_i = _top_k(sub_scores, sub_n, cfg.exact, cfg.recall_target)
+            if decimate:
+                sub_i = cols[sub_i]  # map candidate column -> cloud index
             sub_pad = ~jnp.isfinite(sub_s)
         else:
             sub_i = jnp.zeros((qc, max(sub_n, 1)), jnp.int32)
