@@ -57,6 +57,12 @@ class PatchPipeline:
         self._base_key = jax.random.key(seed)
         self._step = 0
 
+    def reset(self) -> None:
+        """Restart the RNG stream (reference --identical_epochs semantics:
+        the same patches AND the same random draws every epoch,
+        points_to_surf_train.py:99-100, data_loader.py:332-333)."""
+        self._step = 0
+
     def _extract_run(self, shape_ind: int, local_inds: np.ndarray):
         pts_dev, n_valid = self.store.device_points(shape_ind)
         shape = self.store.get(shape_ind)

@@ -300,6 +300,9 @@ class Trainer:
 
         for epoch in range(self.start_epoch, opt.nepoch):
             t_epoch = time.time()
+            if opt.identical_epochs:
+                self.train_pipe.reset()
+                self.test_pipe.reset()
             test_iter = self.test_pipe.batches(
                 iter(self.test_sampler), opt.batchSize
             )
