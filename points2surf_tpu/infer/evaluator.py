@@ -143,10 +143,14 @@ def points_to_surf_eval(eval_opt):
             fixed_subsample=bool(train_opt.fixed_subsample),
         )
         # the reference augments any non-reconstruction pass
-        # (data_loader.py:381-393)
+        # (data_loader.py:381-393); queries shard over the device mesh
+        from points2surf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
         query_fn = make_sdf_query_fn(
             model, tuple(train_opt.outputs), patch_cfg, fixed_radius,
             augment=not eval_opt.reconstruction,
+            mesh=mesh if mesh.devices.size > 1 else None,
         )
 
         model_out_dir = os.path.join(

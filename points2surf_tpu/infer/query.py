@@ -20,14 +20,21 @@ from points2surf_tpu.ops.patches import PatchConfig, extract_patches
 
 
 def make_sdf_query_fn(model, outputs, patch_cfg: PatchConfig,
-                      fixed_radius: bool, augment: bool = False):
+                      fixed_radius: bool, augment: bool = False,
+                      mesh=None):
     """Returns jitted fn(params, batch_stats, points, queries, n_valid, key)
-    -> (B,) model-space signed distances."""
+    -> (B,) model-space signed distances.
+
+    With ``mesh``, the query batch is sharded over the mesh's ``data`` axis
+    and the cloud/params replicated — the multi-chip reconstruction sweep
+    (SURVEY §2.4 'sharded inference map'); XLA partitions the whole fused
+    program, so each chip extracts and evaluates only its B/n_chips slice.
+    """
     outputs = tuple(outputs)
 
     @functools.partial(jax.jit, static_argnames=("small_cloud",))
-    def query_fn(params, batch_stats, points, queries, n_valid, key,
-                 small_cloud: bool = False):
+    def _query(params, batch_stats, points, queries, n_valid, key,
+               small_cloud: bool = False):
         batch = extract_patches(
             points, queries, n_valid, key,
             cfg=patch_cfg, train=augment, small_cloud=small_cloud,
@@ -56,4 +63,20 @@ def make_sdf_query_fn(model, outputs, patch_cfg: PatchConfig,
             dist = mag * sign
         return dist
 
-    return query_fn
+    if mesh is None:
+        return _query
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    q_sharding = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def sharded_query(params, batch_stats, points, queries, n_valid, key,
+                      small_cloud: bool = False):
+        if queries.shape[0] % mesh.shape["data"] == 0:
+            queries = jax.device_put(queries, q_sharding)
+            points = jax.device_put(points, rep)
+        return _query(params, batch_stats, points, queries, n_valid, key,
+                      small_cloud=small_cloud)
+
+    return sharded_query

@@ -145,3 +145,34 @@ def test_sharded_train_step_matches_single_device():
     )
     assert all_diffs.max() < 1e-4
     assert all_diffs.mean() < 1e-6
+
+
+def test_sharded_sdf_query_matches_single_device(rng):
+    """Multi-chip reconstruction sweep: sharding the query batch over the
+    mesh must not change the distances."""
+    from points2surf_tpu.infer.query import make_sdf_query_fn
+    from points2surf_tpu.models.p2s import PointsToSurfModel
+    from points2surf_tpu.ops.patches import PatchConfig
+
+    pts = np.zeros((2048, 3), np.float32)
+    pts[:2000] = rng.rand(2000, 3).astype(np.float32) - 0.5
+    q = rng.rand(64, 3).astype(np.float32) - 0.5
+    cfg = PatchConfig(points_per_patch=32, sub_sample_size=48, exact=True)
+    model = PointsToSurfModel(net_size_max=64, output_dim=2)
+    dummy = {
+        "patch_pts_ps": jnp.zeros((2, 32, 3)),
+        "pts_sub_sample_ms": jnp.zeros((2, 48, 3)),
+        "imp_surf_query_point_ms": jnp.zeros((2, 3)),
+    }
+    v = model.init(jax.random.key(0), dummy, False)
+    outputs = ("imp_surf_magnitude", "imp_surf_sign")
+
+    f1 = make_sdf_query_fn(model, outputs, cfg, fixed_radius=False)
+    f2 = make_sdf_query_fn(model, outputs, cfg, fixed_radius=False,
+                           mesh=make_mesh())
+    key = jax.random.key(3)
+    d1 = np.asarray(f1(v["params"], v["batch_stats"], jnp.asarray(pts),
+                       jnp.asarray(q), 2000, key))
+    d2 = np.asarray(f2(v["params"], v["batch_stats"], jnp.asarray(pts),
+                       jnp.asarray(q), 2000, key))
+    np.testing.assert_allclose(d1, d2, atol=2e-5, rtol=1e-3)
