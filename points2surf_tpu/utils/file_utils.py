@@ -67,3 +67,14 @@ def load_npy_if_valid(
     if arr.dtype != np.dtype(dtype):
         arr = arr.astype(dtype)
     return arr
+
+
+def save_npz(path: str, arr) -> None:
+    """Sparse-friendly compressed single-array container
+    (reference file_utils.py:28-73 role)."""
+    np.savez_compressed(path, arr=arr)
+
+
+def load_npz(path: str):
+    with np.load(path) as d:
+        return d["arr"] if "arr" in d.files else d[d.files[0]]

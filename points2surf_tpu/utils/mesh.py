@@ -135,3 +135,16 @@ class Mesh:
         v1 = self.vertices[self.faces[fi, 1]]
         v2 = self.vertices[self.faces[fi, 2]]
         return (v0 + u * (v1 - v0) + v * (v2 - v0)).astype(np.float32), fi
+
+
+def vertex_adjacency(mesh: "Mesh"):
+    """Sparse vertex-adjacency matrix of a mesh
+    (reference mesh_io.py:172-200 role)."""
+    from scipy import sparse
+
+    e = mesh._directed_edges()
+    data = np.ones(len(e), np.int8)
+    n = len(mesh.vertices)
+    adj = sparse.coo_matrix((data, (e[:, 0], e[:, 1])), shape=(n, n))
+    adj = ((adj + adj.T) > 0).astype(np.int8)
+    return adj.tocsr()
