@@ -242,6 +242,13 @@ class Trainer:
 
     def _log(self, prefix, train, epoch, batchind, fraction_done, num_batch,
              loss_list, metrics):
+        """Fetch + log one step's scalars.
+
+        NOTE: fetching forces a device sync, so the trainer only calls this
+        every ``--debug_interval`` steps (the reference prints at the same
+        cadence but syncs every step implicitly; skipping the off-interval
+        TensorBoard points buys pipelined steps in between).
+        """
         opt = self.opt
         loss_np = np.asarray(loss_list)
         loss_sum = float(loss_np.sum())
@@ -330,10 +337,14 @@ class Trainer:
                 )
                 self.global_step += 1
                 fraction_done = (batchind + 1) / train_num_batch
-                self._log(
-                    GREEN + "train" + ENDC, True, epoch, batchind,
-                    fraction_done, train_num_batch, loss_list, metrics,
-                )
+                if (
+                    batchind % opt.debug_interval == 0
+                    or batchind == train_num_batch - 1
+                ):
+                    self._log(
+                        GREEN + "train" + ENDC, True, epoch, batchind,
+                        fraction_done, train_num_batch, loss_list, metrics,
+                    )
 
                 # interleave test batches paced by train progress (:480-509)
                 while (
