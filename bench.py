@@ -55,7 +55,7 @@ def main():
     # realistic reconstruction queries: near-surface grid voxel centers
     queries = grid_query_points(pts, 256, 3)
 
-    batch = int(os.environ.get("P2S_BENCH_BATCH", "2048"))
+    batch = int(os.environ.get("P2S_BENCH_BATCH", "4096"))
     cfg = PatchConfig(
         points_per_patch=300, patch_radius=0.0, sub_sample_size=1000
     )
