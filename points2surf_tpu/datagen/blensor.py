@@ -11,10 +11,9 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 
 from points2surf_tpu.datagen.scanner import scan_poses
-from points2surf_tpu.utils import file_utils
+
 from points2surf_tpu.utils.mp import mp_worker, start_process_pool
 
 # Minimal BlenSor ToF driver script; same placeholders as the reference

@@ -13,7 +13,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 
 from points2surf_tpu.models import losses as L
 from points2surf_tpu.ops.patches import PatchConfig, extract_patches

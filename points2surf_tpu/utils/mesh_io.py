@@ -7,7 +7,6 @@ no trimesh). Formats are interchangeable with the reference's outputs.
 
 from __future__ import annotations
 
-import struct
 
 import numpy as np
 
