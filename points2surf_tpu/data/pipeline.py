@@ -86,6 +86,30 @@ class PatchPipeline:
         )
         return out, run_len
 
+    def plan(
+        self, indices: Iterable[int], batch_size: int
+    ) -> Iterator[tuple]:
+        """Yield per-batch plans without extracting.
+
+        Each item is either
+          ('single', shape_ind, local_inds, gt) — whole batch from one
+            shape (the common case under shape-consecutive ordering;
+            enables extraction fused into the train step), or
+          ('mixed', batch_dict) — assembled via the two-phase path.
+        """
+        idx = np.fromiter(indices, dtype=np.int64)
+        offsets = np.cumsum([0] + self.store.shape_patch_count)
+        for start in range(0, len(idx), batch_size):
+            chunk = idx[start : start + batch_size]
+            shape_inds = np.searchsorted(offsets, chunk, side="right") - 1
+            if len(chunk) == batch_size and (shape_inds == shape_inds[0]).all():
+                si = int(shape_inds[0])
+                li = chunk - offsets[si]
+                gt = self.store.get(si).query_dist[li]
+                yield ("single", si, li, gt.astype(np.float32))
+            else:
+                yield ("mixed", self._assemble(chunk, True))
+
     def batches(
         self,
         indices: Iterable[int],

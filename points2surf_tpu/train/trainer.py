@@ -234,7 +234,30 @@ class Trainer:
             metrics = L.calc_metrics(outputs, pred, batch)
             return jnp.stack(loss_list), metrics
 
+        # fused step: patch extraction INSIDE the train program — one
+        # dispatch per step, and XLA overlaps extraction with the model
+        # graph. Used whenever a batch comes from a single shape (always,
+        # under random_shape_consecutive ordering).
+        import functools
+
+        from points2surf_tpu.ops.patches import extract_patches
+
+        patch_cfg = self.patch_cfg
+
+        @functools.partial(jax.jit, static_argnames=("small_cloud",))
+        def train_step_fused(params, batch_stats, opt_state, points, queries,
+                             n_valid, gt, key, small_cloud: bool = False):
+            batch = extract_patches(
+                points, queries, n_valid, key,
+                cfg=patch_cfg, train=True, small_cloud=small_cloud,
+            )
+            batch["imp_surf_ms"] = gt
+            batch["imp_surf_magnitude_ms"] = jnp.abs(gt)
+            batch["imp_surf_dist_sign_ms"] = (gt >= 0.0).astype(jnp.float32)
+            return train_step(params, batch_stats, opt_state, batch)
+
         self._train_step = train_step
+        self._train_step_fused = train_step_fused
         self._eval_step = eval_step
 
     # -- logging -----------------------------------------------------------
@@ -315,8 +338,8 @@ class Trainer:
             test_batchind = -1
             test_fraction_done = 0.0
 
-            for batchind, batch in enumerate(
-                self.train_pipe.batches(iter(self.train_sampler), opt.batchSize)
+            for batchind, item in enumerate(
+                self.train_pipe.plan(iter(self.train_sampler), opt.batchSize)
             ):
                 if profile_window is not None:
                     if self.global_step == profile_window[0]:
@@ -324,16 +347,42 @@ class Trainer:
                     elif self.global_step == profile_window[1]:
                         jax.profiler.stop_trace()
                         profile_window = None
-                batch = shard_batch(batch, self.mesh)
-                (
-                    self.params,
-                    self.batch_stats,
-                    self.opt_state,
-                    loss_list,
-                    metrics,
-                ) = self._train_step(
-                    self.params, self.batch_stats, self.opt_state, batch
-                )
+                if item[0] == "single":
+                    # extraction fused into the train step: one dispatch
+                    _, si, local_inds, gt = item
+                    pts_dev, n_valid = self.train_store.device_points(si)
+                    shape = self.train_store.get(si)
+                    q = shape.query_pts[local_inds]
+                    fused_in = shard_batch(
+                        {"q": q, "gt": gt}, self.mesh
+                    )
+                    self.train_pipe._step += 1
+                    key = jax.random.fold_in(
+                        self.train_pipe._base_key, self.train_pipe._step
+                    )
+                    (
+                        self.params,
+                        self.batch_stats,
+                        self.opt_state,
+                        loss_list,
+                        metrics,
+                    ) = self._train_step_fused(
+                        self.params, self.batch_stats, self.opt_state,
+                        pts_dev, fused_in["q"], n_valid, fused_in["gt"], key,
+                        small_cloud=n_valid
+                        < max(self.patch_cfg.sub_sample_size, 1),
+                    )
+                else:
+                    batch = shard_batch(item[1], self.mesh)
+                    (
+                        self.params,
+                        self.batch_stats,
+                        self.opt_state,
+                        loss_list,
+                        metrics,
+                    ) = self._train_step(
+                        self.params, self.batch_stats, self.opt_state, batch
+                    )
                 self.global_step += 1
                 fraction_done = (batchind + 1) / train_num_batch
                 if (
