@@ -57,6 +57,11 @@ class PatchPipeline:
         self._base_key = jax.random.key(seed)
         self._step = 0
 
+    def next_key(self):
+        """Advance and return the per-step PRNG key."""
+        self._step += 1
+        return jax.random.fold_in(self._base_key, self._step)
+
     def reset(self) -> None:
         """Restart the RNG stream (reference --identical_epochs semantics:
         the same patches AND the same random draws every epoch,
@@ -73,8 +78,7 @@ class PatchPipeline:
             queries = np.concatenate(
                 [queries, np.repeat(queries[:1], bucket - run_len, axis=0)]
             )
-        self._step += 1
-        key = jax.random.fold_in(self._base_key, self._step)
+        key = self.next_key()
         out = extract_patches(
             pts_dev,
             jnp.asarray(queries),

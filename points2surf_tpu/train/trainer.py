@@ -356,10 +356,7 @@ class Trainer:
                     fused_in = shard_batch(
                         {"q": q, "gt": gt}, self.mesh
                     )
-                    self.train_pipe._step += 1
-                    key = jax.random.fold_in(
-                        self.train_pipe._base_key, self.train_pipe._step
-                    )
+                    key = self.train_pipe.next_key()
                     (
                         self.params,
                         self.batch_stats,
