@@ -34,6 +34,9 @@ def parse_arguments(args=None):
     parser.add_argument('--batchSize', type=int, default=0)
     parser.add_argument('--workers', type=int, default=0)
     parser.add_argument('--cache_capacity', type=int, default=100)
+    parser.add_argument('--exact_patch_sampling', type=int, default=0,
+                        help='1: exact top-k patch selection (slower, for '
+                             'parity checks); 0: approx (default)')
 
     opt = parser.parse_args(args=args)
     if len(opt.dataset) == 1:

@@ -141,6 +141,7 @@ def points_to_surf_eval(eval_opt):
             sub_sample_size=train_opt.sub_sample_size,
             uniform_subsample=bool(train_opt.uniform_subsample),
             fixed_subsample=bool(train_opt.fixed_subsample),
+            exact=bool(getattr(eval_opt, "exact_patch_sampling", 0)),
         )
         # the reference augments any non-reconstruction pass
         # (data_loader.py:381-393); queries shard over the device mesh
