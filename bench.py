@@ -56,12 +56,17 @@ def main():
     queries = grid_query_points(pts, 256, 3)
 
     batch = int(os.environ.get("P2S_BENCH_BATCH", "4096"))
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("P2S_BENCH_DTYPE", "") == "bf16"
+        else None
+    )
     cfg = PatchConfig(
         points_per_patch=300, patch_radius=0.0, sub_sample_size=1000
     )
     model = PointsToSurfModel(
         net_size_max=1024, output_dim=2, use_point_stn=True,
-        use_feat_stn=True, shared_transformation=True,
+        use_feat_stn=True, shared_transformation=True, dtype=dtype,
     )
     dummy = {
         "patch_pts_ps": jnp.zeros((2, 300, 3)),
