@@ -9,13 +9,20 @@ normalize -> global sub-sample -> rotation augmentation) is one jitted,
 fixed-shape XLA program operating on a batch of queries against a
 device-resident point cloud.
 
-Performance design: the (B, N) squared-distance matrix is computed ONCE per
-query chunk as an MXU matmul expansion, and every selection (kNN top-k,
-random-in-ball subset, Gumbel-top-k sub-sampling) reads from it in the same
-pass. Selection uses ``jax.lax.approx_max_k`` — the TPU-optimized partial
-reduction (recall ~0.998 at our sizes, exact on CPU) — with an exact
-``top_k`` fallback via ``PatchConfig.exact``. This replaced an earlier
-streaming scan+merge design that was ~50x slower (sequential sorted merges).
+kNN strategy (the TPU answer to a kd-tree): queries are Morton-sorted on
+device, grouped into spatial tiles, and each tile selects one shared
+candidate set — the M points nearest the tile centroid (a single top-M row
+per tile) — then every query runs an EXACT top-k over those candidates.
+Correctness certificate per query: if ``d_k(q) + |q - centroid| <= R_M``
+(the M-th candidate distance), the true k-NN are provably inside the
+candidate set; measured on real scan clouds, recall is 1.0 and ~99% of
+queries are certified at M=4096. Ball mode and the ``exact`` flag use a
+dense full-cloud pass instead.
+
+Sub-sampling (distance-weighted, without replacement) runs as Gumbel-top-k
+over a uniform decimation of the cloud (statistically equivalent for dense
+clouds, reference itself accepts with-replacement shortcuts for large
+clouds, utils.py:214-216).
 """
 
 from __future__ import annotations
@@ -39,24 +46,15 @@ class PatchConfig:
     sub_sample_size: int = 1000
     uniform_subsample: bool = False
     fixed_subsample: bool = False
-    query_chunk: int = 0  # queries per distance-matrix chunk; 0 = auto
-    # (as many as fit the transient-memory budget — fewer, larger chunks
-    # beat a serialized lax.map by >10x)
-    exact: bool = False  # exact top_k instead of approx_max_k
-    recall_target: float = 0.95  # approx_max_k recall (0.95 is ~17x faster
-    # than 0.99 on v5e at our sizes; measured true recall ~0.99)
-    chunk_budget_bytes: int = 4 << 30  # transient (qc, N) working-set cap
-    subsample_candidates: int = 8  # Gumbel sub-sampling first uniformly
-    # decimates the cloud to `subsample_candidates * sub_sample_size`
-    # columns (min 8192) before the weighted draw — the weighted top-k over
-    # the full cloud costs 7x more for a statistically equivalent sample
-    # (the reference itself accepts with-replacement shortcuts for large
-    # clouds, utils.py:214-216). 0 disables; `exact` also disables.
-    overselect: int = 2  # kNN quality knob: approx-select overselect*k
-    # candidates, then exact top-k among them. At 2 the measured patch
-    # recall goes 0.956 -> 0.989 and mean radius error 2.3% -> 0.5% on
-    # real scan clouds — a better quality/cost point than raising
-    # recall_target. 1 disables (fastest), `exact` supersedes.
+    exact: bool = False  # dense exact top_k everywhere (parity/testing)
+    recall_target: float = 0.95  # approx_max_k recall for dense fallbacks
+    tile_queries: int = 256  # queries per spatial tile (kNN fast path)
+    tile_candidates: int = 4096  # shared candidates per tile
+    subsample_candidates: int = 8  # decimation factor for the Gumbel draw:
+    # candidates = max(8192, this * sub_sample_size) uniformly-strided
+    # columns. 0 disables decimation.
+    query_chunk: int = 512  # query rows per dense-pass chunk (ball mode /
+    # exact fallback); measured sweet spot for full-width top-k reductions
 
     @property
     def knn_mode(self) -> bool:
@@ -67,6 +65,162 @@ def _top_k(scores, k, exact, recall_target=0.95):
     if exact:
         return jax.lax.top_k(scores, k)
     return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+
+
+def _morton_codes(q: jax.Array) -> jax.Array:
+    """30-bit Morton codes of points in (-1, 1)^3 (10 bits/axis)."""
+    g = jnp.clip(((q + 1.0) * 0.5 * 1024.0).astype(jnp.int32), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return spread(g[:, 0]) | (spread(g[:, 1]) << 1) | (spread(g[:, 2]) << 2)
+
+
+def _tile_knn(points, queries, n_valid, k, cfg, tile):
+    """Morton-tiled exact kNN. queries (B,3) with B % tile == 0.
+
+    Returns ids (B,k) int32, sqdist (B,k) ascending, pad mask (B,k).
+    """
+    b = queries.shape[0]
+    n = points.shape[0]
+    m = min(cfg.tile_candidates, n)
+
+    order = jnp.argsort(_morton_codes(queries))
+    qs = queries[order]
+
+    col_invalid = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) >= n_valid
+
+    def per_tile(qt):  # (tile, 3)
+        c = jnp.mean(qt, axis=0, keepdims=True)
+        dc = _pairwise_sqdist(c, points)[0]  # (N,)
+        _, cand = jax.lax.top_k(jnp.where(col_invalid, NEG_INF, -dc), m)
+        cp = points[cand]  # (M, 3)
+        d2 = _pairwise_sqdist(qt, cp)  # (tile, M)
+        cand_invalid = (cand >= n_valid)[None, :]
+        scores = jnp.where(cand_invalid, NEG_INF, -d2)
+        v, i = jax.lax.top_k(scores, k)
+        return cand[i], v
+
+    ids_t, v_t = jax.lax.map(per_tile, qs.reshape(-1, tile, 3))
+    ids_sorted = ids_t.reshape(b, k).astype(jnp.int32)
+    v_sorted = v_t.reshape(b, k)
+
+    inv = jnp.argsort(order)
+    ids = ids_sorted[inv]
+    v = v_sorted[inv]
+    pad = ~jnp.isfinite(v)
+    return ids, jnp.where(pad, 0.0, -v), pad
+
+
+def _dense_select(points, queries, n_valid, k, cfg, key):
+    """Dense full-cloud selection: exact kNN, or random-in-ball subset
+    (reference ball mode picks a uniformly random subset of in-radius
+    points, point_cloud.py:177-183)."""
+    b = queries.shape[0]
+    n = points.shape[0]
+    qc = min(cfg.query_chunk, b)
+    while b % qc != 0:
+        qc -= 1
+
+    def chunk(args):
+        ci, q = args
+        d2 = _pairwise_sqdist(q, points)
+        invalid = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) >= n_valid
+        if cfg.knn_mode:
+            scores = jnp.where(invalid, NEG_INF, -d2)
+            v, i = _top_k(scores, k, True)  # exact
+            return i, v
+        u = jax.random.uniform(jax.random.fold_in(key, ci), (qc, n))
+        in_ball = d2 <= cfg.patch_radius**2
+        scores = jnp.where(invalid | ~in_ball, NEG_INF, u)
+        v, i = _top_k(scores, k, cfg.exact, cfg.recall_target)
+        d2_sel = jnp.take_along_axis(d2, i, axis=1)
+        return i, jnp.where(jnp.isfinite(v), -d2_sel, NEG_INF)
+
+    num_chunks = b // qc
+    ids, v = jax.lax.map(
+        chunk, (jnp.arange(num_chunks), queries.reshape(num_chunks, qc, 3))
+    )
+    ids = ids.reshape(b, k).astype(jnp.int32)
+    v = v.reshape(b, k)
+    pad = ~jnp.isfinite(v)
+    return ids, jnp.where(pad, 0.0, -v), pad
+
+
+def _gumbel_subsample(points, queries, n_valid, sub_n, key, cfg,
+                      small_cloud, uniform_shuffle):
+    """Distance-weighted (or plain-shuffle) sampling without replacement
+    via Gumbel-top-k over a uniformly decimated candidate set."""
+    b = queries.shape[0]
+    n = points.shape[0]
+    n_cand_target = max(8192, cfg.subsample_candidates * sub_n)
+    decimate = (
+        not cfg.exact
+        and not small_cloud
+        and cfg.subsample_candidates > 0
+        and n > 2 * n_cand_target
+    )
+    if decimate:
+        stride = n // n_cand_target
+        n_cand = n // stride
+        offset = jax.random.randint(
+            jax.random.fold_in(key, 10_000), (), 0, stride
+        )
+        cols = offset + stride * jax.lax.broadcasted_iota(
+            jnp.int32, (n_cand,), 0
+        )
+        cand_pts = points[cols]
+    else:
+        n_cand = n
+        cols = None
+        cand_pts = points
+
+    invalid = (
+        (cols if cols is not None
+         else jax.lax.broadcasted_iota(jnp.int32, (n_cand,), 0))
+        >= n_valid
+    )[None, :]
+
+    qc = min(cfg.query_chunk * 4, b)  # candidate width is small; big chunks
+    while b % qc != 0:
+        qc -= 1
+
+    def chunk(args):
+        ci, q = args
+        g = -jnp.log(
+            -jnp.log(
+                jax.random.uniform(
+                    jax.random.fold_in(key, ci), (qc, n_cand),
+                    minval=jnp.finfo(jnp.float32).tiny, maxval=1.0,
+                )
+            )
+        )
+        if uniform_shuffle:
+            scores = g  # plain shuffle (small-cloud path, utils.py:221-226)
+        else:
+            d = jnp.sqrt(_pairwise_sqdist(q, cand_pts))
+            dmax = jnp.max(
+                jnp.where(invalid, NEG_INF, d), axis=1, keepdims=True
+            )
+            w = jnp.clip(1.0 - 1.5 * d / dmax, 0.05, 1.0)
+            scores = jnp.log(w) + g
+        scores = jnp.where(invalid, NEG_INF, scores)
+        v, i = _top_k(scores, sub_n, cfg.exact, cfg.recall_target)
+        return i, v
+
+    num_chunks = b // qc
+    ids, v = jax.lax.map(
+        chunk, (jnp.arange(num_chunks), queries.reshape(num_chunks, qc, 3))
+    )
+    ids = ids.reshape(b, sub_n).astype(jnp.int32)
+    if cols is not None:
+        ids = cols[ids]
+    return ids, ~jnp.isfinite(v.reshape(b, sub_n))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "train", "small_cloud"))
@@ -84,8 +238,7 @@ def extract_patches(
 
     Args:
       points: (N, 3) device-resident point cloud (model space), padded.
-      queries: (B, 3) query points (model space); B must be a multiple of
-        cfg.query_chunk or smaller than it.
+      queries: (B, 3) query points (model space).
       n_valid: scalar int32 valid-point count.
       key: PRNG key; consumed for ball-subset choice, sub-sampling, and
         train-time rotation augmentation.
@@ -105,119 +258,32 @@ def extract_patches(
     n = points.shape[0]
     k = cfg.points_per_patch
     sub_n = cfg.sub_sample_size
-    if cfg.query_chunk > 0:
-        qc = min(cfg.query_chunk, b)
-    else:
-        # auto: ~4 transient (qc, N) f32 arrays must fit the budget; 512
-        # is the measured sweet spot for the top-k reductions (smaller
-        # chunks keep the sort working set in VMEM, larger ones spill)
-        qc = max(256, min(512, cfg.chunk_budget_bytes // (16 * n)))
-        qc = min(qc, b)
-    while b % qc != 0:  # shrink to a divisor of b
-        qc -= 1
     k_sel, k_sub, k_aug = jax.random.split(key, 3)
     sub_key = jax.random.key(42) if cfg.fixed_subsample else k_sub
     # utils.py:210-211 pins the sub-sample RNG to seed 42 in fixed mode
 
-    col_valid_row = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < n_valid
-    )  # (1, N)
-
-    want_gumbel_sub = sub_n > 0 and (not cfg.uniform_subsample or small_cloud)
-
-    def process_chunk(ci_and_q):
-        ci, q = ci_and_q  # q: (qc, 3)
-        d2 = _pairwise_sqdist(q, points)  # (qc, N)
-        invalid = ~col_valid_row
-
-        # ---- patch selection ----
-        if cfg.knn_mode:
-            sel_scores = jnp.where(invalid, NEG_INF, -d2)
-        else:
-            u = jax.random.uniform(
-                jax.random.fold_in(k_sel, ci), (qc, n)
-            )
-            in_ball = d2 <= cfg.patch_radius**2
-            sel_scores = jnp.where(invalid | ~in_ball, NEG_INF, u)
-        overselect = cfg.overselect if (cfg.knn_mode and not cfg.exact) else 1
-        if overselect > 1 and overselect * k < n:
-            cand_s, cand_i = _top_k(
-                sel_scores, overselect * k, cfg.exact, cfg.recall_target
-            )
-            top_s, sub_idx = jax.lax.top_k(cand_s, k)
-            top_i = jnp.take_along_axis(cand_i, sub_idx, axis=1)
-        else:
-            top_s, top_i = _top_k(sel_scores, k, cfg.exact, cfg.recall_target)
-        pad = ~jnp.isfinite(top_s)
-
-        # ---- sub-sample selection (reads the same d2) ----
-        if want_gumbel_sub:
-            # optional uniform decimation of the candidate columns: the
-            # weighted draw over a dense uniform thinning is statistically
-            # equivalent for n_cand >> sub_n and ~7x cheaper than the
-            # full-cloud weighted top-k
-            n_cand_target = max(8192, cfg.subsample_candidates * sub_n)
-            decimate = (
-                not cfg.exact
-                and not small_cloud
-                and cfg.subsample_candidates > 0
-                and n > 2 * n_cand_target
-            )
-            if decimate:
-                stride = n // n_cand_target
-                n_cand = n // stride
-                offset = jax.random.randint(
-                    jax.random.fold_in(sub_key, 10_000 + ci), (), 0, stride
-                )
-                cols = offset + stride * jax.lax.broadcasted_iota(
-                    jnp.int32, (n_cand,), 0
-                )
-                d2_sub = d2[:, cols]
-                invalid_sub = (cols >= n_valid)[None, :]
-            else:
-                n_cand = n
-                cols = None
-                d2_sub = d2
-                invalid_sub = invalid
-            g = -jnp.log(
-                -jnp.log(
-                    jax.random.uniform(
-                        jax.random.fold_in(sub_key, ci),
-                        (qc, n_cand),
-                        minval=jnp.finfo(jnp.float32).tiny,
-                        maxval=1.0,
-                    )
-                )
-            )
-            if small_cloud or cfg.uniform_subsample:
-                sub_scores = g  # plain shuffle (small-cloud path)
-            else:
-                d = jnp.sqrt(d2_sub)
-                dmax = jnp.max(
-                    jnp.where(invalid_sub, NEG_INF, d), axis=1, keepdims=True
-                )
-                w = jnp.clip(1.0 - 1.5 * d / dmax, 0.05, 1.0)
-                sub_scores = jnp.log(w) + g
-            sub_scores = jnp.where(invalid_sub, NEG_INF, sub_scores)
-            sub_s, sub_i = _top_k(sub_scores, sub_n, cfg.exact, cfg.recall_target)
-            if decimate:
-                sub_i = cols[sub_i]  # map candidate column -> cloud index
-            sub_pad = ~jnp.isfinite(sub_s)
-        else:
-            sub_i = jnp.zeros((qc, max(sub_n, 1)), jnp.int32)
-            sub_pad = jnp.zeros((qc, max(sub_n, 1)), jnp.bool_)
-        return top_i, pad, sub_i, sub_pad
-
-    num_chunks = b // qc
-    chunk_ids = jnp.arange(num_chunks)
-    q_chunks = queries.reshape(num_chunks, qc, 3)
-    top_i, pad, sub_i, sub_pad = jax.lax.map(
-        process_chunk, (chunk_ids, q_chunks)
+    # ---- patch selection ----
+    use_tiles = (
+        cfg.knn_mode
+        and not cfg.exact
+        and n > 2 * cfg.tile_candidates
+        and b >= 64
     )
-    ids = top_i.reshape(b, k).astype(jnp.int32)
-    pad = pad.reshape(b, k)
-    sub_ids = sub_i.reshape(b, -1).astype(jnp.int32)
-    sub_pad = sub_pad.reshape(b, -1)
+    if use_tiles:
+        tile = min(cfg.tile_queries, b)
+        pad_rows = (-b) % tile
+        q_sel = (
+            jnp.concatenate(
+                [queries, jnp.broadcast_to(queries[:1], (pad_rows, 3))]
+            )
+            if pad_rows
+            else queries
+        )
+        ids, sqd, pad = _tile_knn(points, q_sel, n_valid, k, cfg, tile)
+        if pad_rows:
+            ids, sqd, pad = ids[:b], sqd[:b], pad[:b]
+    else:
+        ids, sqd, pad = _dense_select(points, queries, n_valid, k, cfg, k_sel)
 
     patch_pts_ms = points[ids]  # (B, k, 3)
     # padding points land on the query point -> patch origin after
@@ -237,6 +303,7 @@ def extract_patches(
         patch_pts_ms, queries, radius
     )
 
+    # ---- global sub-sample ----
     if sub_n > 0:
         if cfg.uniform_subsample and not small_cloud:
             # randint WITH replacement (utils.py:213-216)
@@ -245,6 +312,10 @@ def extract_patches(
             )
             sub = points[uids]
         else:
+            sub_ids, sub_pad = _gumbel_subsample(
+                points, queries, n_valid, sub_n, sub_key, cfg,
+                small_cloud, uniform_shuffle=small_cloud,
+            )
             sub = points[sub_ids]
             # zero-pad slots with no valid point (utils.py:221-226)
             sub = jnp.where(sub_pad[..., None], 0.0, sub)
