@@ -42,3 +42,44 @@ def test_fold_batchnorm(rng):
     want = (y - mean) / jnp.sqrt(var + 1e-5) * scale + bias
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_chain3_maxpool_matches_xla(rng):
+    from points2surf_tpu.ops.pallas.chain_kernel import chain3_maxpool
+
+    b, n = 16, 256
+    x = jnp.asarray(rng.randn(b, n, 64).astype(np.float32) * 0.3)
+    w1 = jnp.asarray(rng.randn(64, 64).astype(np.float32) * 0.2)
+    c1 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(64, 128).astype(np.float32) * 0.2)
+    c2 = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+    w3 = jnp.asarray(rng.randn(128, 512).astype(np.float32) * 0.2)
+    c3 = jnp.asarray(rng.randn(512).astype(np.float32) * 0.1)
+
+    for relu_last in (False, True):
+        got = chain3_maxpool(x, w1, c1, w2, c2, w3, c3,
+                             relu_last=relu_last, interpret=True)
+        h = jnp.maximum(jnp.einsum("bnc,cd->bnd", x, w1) + c1, 0.0)
+        h = jnp.maximum(jnp.einsum("bnc,cd->bnd", h, w2) + c2, 0.0)
+        y = jnp.einsum("bnc,cd->bnd", h, w3) + c3
+        if relu_last:
+            y = jnp.maximum(y, 0.0)
+        want = jnp.max(y, axis=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_chain3_fallback_odd_shapes(rng):
+    from points2surf_tpu.ops.pallas.chain_kernel import chain3_maxpool
+
+    b, n = 6, 100  # not tileable -> XLA fallback
+    x = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(3, 64).astype(np.float32) * 0.3)
+    c1 = jnp.zeros(64)
+    w2 = jnp.asarray(rng.randn(64, 128).astype(np.float32) * 0.2)
+    c2 = jnp.zeros(128)
+    w3 = jnp.asarray(rng.randn(128, 256).astype(np.float32) * 0.2)
+    c3 = jnp.zeros(256)
+    got = chain3_maxpool(x, w1, c1, w2, c2, w3, c3)
+    assert got.shape == (6, 256)
+    assert np.isfinite(np.asarray(got)).all()
