@@ -1,0 +1,83 @@
+"""Trainer behavior: refine/resume, LR schedule, checkpoint artifacts."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+
+def _opt(tmp, **kw):
+    d = dict(
+        name="t", desc="t", indir="/root/repo/datasets/abc_minimal",
+        outdir=os.path.join(tmp, "models"),
+        logdir=os.path.join(tmp, "logs"),
+        trainset="trainset.txt", testset="valset.txt",
+        save_interval=1, debug_interval=100, refine="",
+        patch_radius=0.0, net_size=32, nepoch=1, batchSize=32,
+        patch_center="mean", patch_point_count_std=0,
+        patches_per_shape=48, sub_sample_size=32, workers=0,
+        cache_capacity=4, seed=11, single_transformer=0,
+        uniform_subsample=0, fixed_subsample=0, shared_transformer=0,
+        training_order="random_shape_consecutive", identical_epochs=0,
+        lr=0.01, scheduler_steps=[2, 4], momentum=0.9,
+        normal_loss="ms_euclidean",
+        outputs=["imp_surf_magnitude", "imp_surf_sign", "patch_pts_ids",
+                 "p_index"],
+        use_point_stn=0, use_feat_stn=0, sym_op="max",
+        points_per_patch=16, debug=0,
+    )
+    d.update(kw)
+    return argparse.Namespace(**d)
+
+
+def test_train_and_refine_resume(tmp_path):
+    from points2surf_tpu.train.trainer import Trainer
+
+    opt = _opt(str(tmp_path), nepoch=2)
+    tr = Trainer(opt)
+    tr.train()
+    snap = os.path.join(str(tmp_path), "models", "t_model_1.npz")
+    assert os.path.isfile(snap)
+    assert os.path.isfile(
+        os.path.join(str(tmp_path), "models", "t_params.json")
+    )
+
+    # resume from the epoch-1 snapshot: starts at epoch 2
+    opt2 = _opt(str(tmp_path), nepoch=3, refine=snap)
+    tr2 = Trainer(opt2)
+    assert tr2.start_epoch == 2
+    # optimizer momentum restored (non-zero after prior steps)
+    leaves = [
+        np.asarray(x)
+        for x in __import__("jax").tree_util.tree_leaves(tr2.opt_state)
+        if hasattr(x, "shape") and getattr(x, "size", 0) > 1
+    ]
+    assert any(np.abs(l).max() > 0 for l in leaves)
+    tr2.train()  # one more epoch runs
+
+
+def test_lr_schedule_steps(tmp_path):
+    from points2surf_tpu.train.trainer import Trainer
+
+    opt = _opt(str(tmp_path), scheduler_steps=[2, 4], lr=0.01)
+    tr = Trainer(opt)
+    s = tr.steps_per_epoch
+    assert float(tr.lr_schedule(0)) == pytest.approx(0.01)
+    assert float(tr.lr_schedule(2 * s)) == pytest.approx(0.001)
+    assert float(tr.lr_schedule(4 * s)) == pytest.approx(1e-4)
+
+
+def test_output_spec_regression_variant():
+    from points2surf_tpu.train.trainer import output_spec
+
+    dim, names, w = output_spec(["imp_surf", "patch_pts_ids", "p_index"])
+    assert dim == 1 and names == ["imp_surf"]
+    dim, names, w = output_spec(
+        ["imp_surf_magnitude", "imp_surf_sign", "patch_pts_ids", "p_index"]
+    )
+    assert dim == 2
+    with pytest.raises(ValueError):
+        output_spec(["patch_pts_ids"])
+    with pytest.raises(ValueError):
+        output_spec(["bogus"])
