@@ -9,15 +9,19 @@ normalize -> global sub-sample -> rotation augmentation) is one jitted,
 fixed-shape XLA program operating on a batch of queries against a
 device-resident point cloud.
 
-kNN strategy (the TPU answer to a kd-tree): queries are Morton-sorted on
-device, grouped into spatial tiles, and each tile selects one shared
-candidate set — the M points nearest the tile centroid (a single top-M row
-per tile) — then every query runs an EXACT top-k over those candidates.
-Correctness certificate per query: if ``d_k(q) + |q - centroid| <= R_M``
-(the M-th candidate distance), the true k-NN are provably inside the
-candidate set; measured on real scan clouds, recall is 1.0 and ~99% of
-queries are certified at M=4096. Ball mode and the ``exact`` flag use a
-dense full-cloud pass instead.
+kNN strategy (the TPU answer to a kd-tree): eval/reconstruction queries
+are Morton-sorted on device and grouped into spatial tiles; each tile
+selects one shared candidate set — the M points nearest the tile centroid
+(a single top-M row per tile) — then every query runs an EXACT top-k over
+those candidates, with a per-tile soundness certificate
+(``d_k(q) + |q - centroid| <= R_M``). If any tile fails, ONE whole-batch
+cond falls back to high-recall dense selection (quality-neutral on
+reconstructions, docs/VALIDATION.md). Reconstruction query lists are
+Morton-ordered on the host (ops/voxel.grid_query_points) so batches are
+tight blocks and certify most of the time. Training batches (spread
+random patches, where selection noise is just augmentation) use the
+cheap dense-approx path directly; ball mode and ``exact`` use dense
+passes.
 
 Sub-sampling (distance-weighted, without replacement) runs as Gumbel-top-k
 over a uniform decimation of the cloud (statistically equivalent for dense
@@ -90,13 +94,13 @@ def _tile_knn(points, queries, n_valid, k, cfg, tile):
     candidate set and runs exact per-query top-k over them. The result is
     provably exact for a query when ``d_k(q) + |q - c| <= R_M`` (the M-th
     candidate's centroid distance) — using the candidate-estimated d_k,
-    which over-estimates the true one, so a passing check is sound. Tiles
-    where ANY query fails the certificate recompute against the full
-    cloud (lax.cond), so the output is exact for every query regardless
-    of spatial coherence: grid-reconstruction tiles are tight and nearly
-    always certify; spread-out tiles pay the dense cost.
+    which over-estimates the true one, so a passing check is sound. When
+    n_valid <= M the candidate set is exhaustive and the trivially-passing
+    certificate (R_M = inf via masked padding) is also correct.
 
-    Returns ids (B,k) int32, sqdist (B,k) ascending, pad mask (B,k).
+    Returns ids (B,k) int32, sqdist (B,k) ascending, pad mask (B,k), and
+    a scalar bool: True iff EVERY tile certified (the caller falls back
+    for the whole batch otherwise).
     """
     b = queries.shape[0]
     n = points.shape[0]
