@@ -102,3 +102,60 @@ def test_batch_keys_and_shapes(rng):
     assert out["patch_radius_ms"].shape == (9,)
     assert out["imp_surf_query_point_ms"].shape == (9, 3)
     assert out["patch_pts_ids"].shape == (9, 20)
+
+
+def test_spread_queries_stay_exact(rng):
+    """Regression guard: spatially spread query batches (training/GT-eval
+    patterns) must not lose recall through the tiled fast path — the
+    certificate fallback has to engage. An early tile version silently
+    dropped to recall 0.37 here."""
+    from scipy import spatial as sp
+
+    u = rng.uniform(0, 2 * np.pi, 15000)
+    v = rng.uniform(0, 2 * np.pi, 15000)
+    r = 0.45 + 0.2 * np.cos(v)
+    pts = np.stack(
+        [r * np.cos(u), r * np.sin(u), 0.2 * np.sin(v)], 1
+    ).astype(np.float32)
+    pad = np.zeros((16384, 3), np.float32)
+    pad[:15000] = pts
+    q = pts[rng.choice(15000, 512)] + rng.randn(512, 3).astype(np.float32) * 0.02
+
+    tree = sp.cKDTree(pts)
+    _, refi = tree.query(q, 64)
+    cfg = PatchConfig(points_per_patch=64, sub_sample_size=0)
+    for train in (False, True):
+        out = extract_patches(
+            jnp.asarray(pad), jnp.asarray(q), 15000, jax.random.key(0),
+            cfg=cfg, train=train,
+        )
+        ids = np.asarray(out["patch_pts_ids"])
+        recall = np.mean(
+            [len(np.intersect1d(ids[i], refi[i])) / 64 for i in range(512)]
+        )
+        assert recall > 0.93, f"train={train}: recall {recall}"
+
+
+def test_coherent_queries_use_certified_tiles(rng):
+    """Grid-coherent batches must produce exact results via the tile path."""
+    from scipy import spatial as sp
+
+    from points2surf_tpu.ops.voxel import grid_query_points
+
+    pts = (rng.rand(20000, 3).astype(np.float32) * 1.2) - 0.6
+    pad = np.zeros((32768, 3), np.float32)
+    pad[:20000] = pts
+    q = grid_query_points(pts, 128, 3)[:1024]
+
+    tree = sp.cKDTree(pts)
+    _, refi = tree.query(q, 32)
+    cfg = PatchConfig(points_per_patch=32, sub_sample_size=0)
+    out = extract_patches(
+        jnp.asarray(pad), jnp.asarray(q), 20000, jax.random.key(0),
+        cfg=cfg, train=False,
+    )
+    ids = np.asarray(out["patch_pts_ids"])
+    recall = np.mean(
+        [len(np.intersect1d(ids[i], refi[i])) / 32 for i in range(1024)]
+    )
+    assert recall > 0.999
