@@ -109,4 +109,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # the tunneled compile service occasionally
+        # dies with a transient HTTP 500; one retry rides it out
+        print(f"bench attempt failed ({e}); retrying once", file=sys.stderr)
+        main()
