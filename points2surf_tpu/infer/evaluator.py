@@ -152,6 +152,9 @@ def points_to_surf_eval(eval_opt):
             model, tuple(train_opt.outputs), patch_cfg, fixed_radius,
             augment=not eval_opt.reconstruction,
             mesh=mesh if mesh.devices.size > 1 else None,
+            # reconstruction grids are Morton-ordered (tiles certify);
+            # GT eval points are spread surface samples
+            coherent=bool(eval_opt.reconstruction),
         )
 
         model_out_dir = os.path.join(

@@ -20,7 +20,7 @@ from points2surf_tpu.ops.patches import PatchConfig, extract_patches
 
 def make_sdf_query_fn(model, outputs, patch_cfg: PatchConfig,
                       fixed_radius: bool, augment: bool = False,
-                      mesh=None):
+                      mesh=None, coherent: bool = True):
     """Returns jitted fn(params, batch_stats, points, queries, n_valid, key)
     -> (B,) model-space signed distances.
 
@@ -37,6 +37,7 @@ def make_sdf_query_fn(model, outputs, patch_cfg: PatchConfig,
         batch = extract_patches(
             points, queries, n_valid, key,
             cfg=patch_cfg, train=augment, small_cloud=small_cloud,
+            coherent=coherent,
         )
         pred = model.apply(
             {"params": params, "batch_stats": batch_stats}, batch, False

@@ -257,7 +257,9 @@ def _gumbel_subsample(points, queries, n_valid, sub_n, key, cfg,
     return ids, ~jnp.isfinite(v.reshape(b, sub_n))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "train", "small_cloud"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "train", "small_cloud", "coherent")
+)
 def extract_patches(
     points: jax.Array,
     queries: jax.Array,
@@ -267,6 +269,7 @@ def extract_patches(
     cfg: PatchConfig,
     train: bool,
     small_cloud: bool = False,
+    coherent: bool = True,
 ):
     """Extract network-ready patches for a batch of query points.
 
@@ -281,6 +284,9 @@ def extract_patches(
         (data_loader.py:381-393).
       small_cloud: static; True when n_valid < sub_sample_size (switches
         sub-sampling to the shuffle+zero-pad path, utils.py:221-226).
+      coherent: static; False when the caller knows queries are spatially
+        spread (e.g. GT-eval points), skipping the tile attempt whose
+        certificates would fail anyway.
 
     Returns:
       dict with the reference's batch keys (data_loader.py:395-404):
@@ -306,6 +312,7 @@ def extract_patches(
         cfg.knn_mode
         and not cfg.exact
         and not train
+        and coherent  # callers with spread queries (GT eval) skip tiles
         and n > 2 * cfg.tile_candidates
         and b >= 64
     )
