@@ -1,17 +1,25 @@
-"""Benchmark: end-to-end SDF query throughput on the flagship model.
+"""Benchmark: production throughput of the flagship pipeline on one chip.
 
-Measures the production reconstruction inner loop — on-device patch
-extraction (kNN over the full cloud + distance-weighted sub-sampling) +
-PointsToSurf forward + post-processing — in queries/sec on one chip, using
-the bundled abc_minimal cloud and the paper's vanilla configuration
-(300 patch points, 1000 sub-sample, net_size 1024).
+Three numbers (all timed via host fetches — `jax.block_until_ready` does
+NOT synchronize through the axon tunnel, docs/PERFORMANCE.md):
 
-Baseline: the reference evaluates 14 test sets at grid 256 in ~1 day on a
-GTX 1070 (README.md:84). At ~2M near-surface queries per shape and ~20
-shapes per set that is ~6.5k SDF queries/sec end-to-end; we use
-BASELINE_QPS = 6500 for vs_baseline.
+1. sdf_queries_per_sec_per_chip — the reconstruction inner loop: on-device
+   patch extraction (kNN over the full cloud + distance-weighted
+   sub-sampling) + PointsToSurf forward + post-processing, vanilla config
+   (300 patch points, 1000 sub-sample, net_size 1024) on the bundled
+   abc_minimal cloud. Baseline 6,500 q/s: the reference evaluates 14 test
+   sets at grid 256 in ~1 day on a GTX 1070 (README.md:84) ≈ 2M
+   near-surface queries x ~20 shapes x 14 sets / 86400 s.
+2. secs_per_mesh_256 — one full shape at 256³ steady state: grid query
+   generation + SDF sweep + splat + sign propagation + native marching
+   tetrahedra. Baseline 308 s/mesh (same ~1 day / ~280 meshes).
+3. train_patches_per_sec — the fused train step (extraction + fwd/bwd +
+   SGD in one dispatch) at batch 1000. Baseline 1,736 patches/s: the
+   reference trains ~5M patches/epoch in ~48 min on 4x RTX 2080 Ti
+   (README.md:119).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line; primary metric is (1), the others ride along as
+extra fields.
 """
 
 import json
@@ -22,6 +30,154 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_QPS = 6500.0
+BASELINE_SECS_PER_MESH = 308.0
+BASELINE_TRAIN_PPS = 1736.0
+
+
+def _measure_rtt(jnp):
+    """Tunnel round-trip latency: fetch a trivial computation repeatedly."""
+    x = jnp.zeros((8,))
+    float(jnp.sum(x))  # warm
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        float(jnp.sum(x))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def bench_qps(jax, jnp, np, model, params, batch_stats, cfg, pts_dev, n,
+              queries, rtt):
+    from points2surf_tpu.infer.query import make_sdf_query_fn
+
+    batch = int(os.environ.get("P2S_BENCH_BATCH", "4096"))
+    outputs = ("imp_surf_magnitude", "imp_surf_sign")
+    query_fn = make_sdf_query_fn(model, outputs, cfg, fixed_radius=False)
+
+    def run(i):
+        q = jnp.asarray(queries[(i * batch) % (len(queries) - batch):][:batch])
+        key = jax.random.key(i)
+        return query_fn(params, batch_stats, pts_dev, q, n, key)
+
+    float(jnp.sum(run(0)))  # compile + warmup (host fetch = real sync)
+
+    iters = int(os.environ.get("P2S_BENCH_ITERS", "10"))
+    t0 = time.time()
+    out = None
+    for i in range(1, iters + 1):
+        out = run(i)
+    # device stream is in-order: fetching the last output syncs them all
+    float(jnp.sum(out))
+    dt = max(time.time() - t0 - rtt, 1e-9)
+    return batch * iters / dt
+
+
+def bench_mesh(jax, jnp, np, model, params, batch_stats, cfg, pts_dev, n,
+               pts, rtt):
+    """Steady-state seconds per shape at 256³ (eval-script settings:
+    grid 256, epsilon 3, sigma 5, certainty 13)."""
+    from points2surf_tpu.infer.meshing import _build_volume
+    from points2surf_tpu.infer.query import make_sdf_query_fn
+    from points2surf_tpu.ops import marching_cubes
+    from points2surf_tpu.ops.voxel import grid_query_points
+
+    batch = int(os.environ.get("P2S_BENCH_BATCH", "4096"))
+    outputs = ("imp_surf_magnitude", "imp_surf_sign")
+    query_fn = make_sdf_query_fn(model, outputs, cfg, fixed_radius=False,
+                                 coherent=True)
+
+    # untrained weights predict one sign everywhere (no isosurface), so the
+    # volume stage uses an analytic proxy SDF over the same query set — the
+    # SDF sweep (the dominant cost) still runs the real model end-to-end
+    center = pts.mean(0)
+    r_mean = float(np.linalg.norm(pts - center, axis=1).mean())
+
+    def one_mesh():
+        t0 = time.time()
+        queries = np.asarray(grid_query_points(pts, 256, 3), np.float32)
+        nq = len(queries)
+        pending = []
+        for s in range(0, nq, batch):
+            q = queries[s:s + batch]
+            nb = len(q)
+            if nb < batch:
+                q = np.concatenate([q, np.repeat(q[:1], batch - nb, axis=0)])
+            d = query_fn(params, batch_stats, pts_dev, jnp.asarray(q), n,
+                         jax.random.key(s))
+            pending.append((s, nb, d))
+        dists = np.empty(nq, np.float32)
+        for s, nb, d in pending:
+            dists[s:s + nb] = np.asarray(d)[:nb]
+        dists = np.sign(
+            r_mean - np.linalg.norm(queries - center, axis=1)
+        ).astype(np.float32) * np.maximum(np.abs(dists), 1e-4)
+        vol = np.asarray(_build_volume(
+            jnp.asarray(queries), jnp.asarray(dists), nq, 256, 5, 13
+        ))
+        v, f = marching_cubes.extract_isosurface(vol, 0.0)
+        assert v.size > 0, "marching produced no surface"
+        return time.time() - t0
+
+    one_mesh()  # compile + warmup
+    return one_mesh()
+
+
+def bench_train(jax, jnp, np, model, params, batch_stats, cfg, pts_dev, n,
+                queries, rtt):
+    import functools
+
+    import optax
+
+    from points2surf_tpu.models import losses as L
+    from points2surf_tpu.ops.patches import extract_patches
+
+    batch = int(os.environ.get("P2S_BENCH_TRAIN_BATCH", "1000"))
+    outputs = ("imp_surf_magnitude", "imp_surf_sign")
+    weights = {o: 1.0 for o in outputs}
+    tx = optax.sgd(0.01, momentum=0.9)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, bs, bt):
+        pred, mutated = model.apply(
+            {"params": p, "batch_stats": bs}, bt, True,
+            mutable=["batch_stats"],
+        )
+        ll = L.compute_loss(pred, bt, outputs, weights, fixed_radius=False)
+        return sum(ll), mutated["batch_stats"]
+
+    @jax.jit
+    def train_step(p, bs, opt, q, gt, key):
+        bt = extract_patches(pts_dev, q, n, key, cfg=cfg, train=True)
+        bt["imp_surf_ms"] = gt
+        bt["imp_surf_magnitude_ms"] = jnp.abs(gt)
+        bt["imp_surf_dist_sign_ms"] = (gt >= 0.0).astype(jnp.float32)
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, bs, bt
+        )
+        updates, opt = tx.update(grads, opt, p)
+        p = optax.apply_updates(p, updates)
+        return p, new_bs, opt, loss
+
+    rng = np.random.RandomState(0)
+    gt = jnp.asarray(rng.randn(batch).astype(np.float32) * 0.05)
+
+    def run(i, p, bs, opt):
+        q = jnp.asarray(
+            queries[(i * batch) % (len(queries) - batch):][:batch]
+        )
+        return train_step(p, bs, opt, q, gt, jax.random.key(i))
+
+    p, bs, opt = params, batch_stats, opt_state
+    p, bs, opt, loss = run(0, p, bs, opt)
+    float(loss)  # compile + warmup
+
+    iters = int(os.environ.get("P2S_BENCH_TRAIN_ITERS", "10"))
+    t0 = time.time()
+    for i in range(1, iters + 1):
+        p, bs, opt, loss = run(i, p, bs, opt)
+    float(loss)
+    dt = max(time.time() - t0 - rtt, 1e-9)
+    return batch * iters / dt
 
 
 def main():
@@ -34,7 +190,6 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from points2surf_tpu.infer.query import make_sdf_query_fn
     from points2surf_tpu.models.p2s import PointsToSurfModel
     from points2surf_tpu.ops.patches import PatchConfig
     from points2surf_tpu.ops.voxel import grid_query_points
@@ -53,9 +208,8 @@ def main():
     pts_dev = jnp.asarray(padded)
 
     # realistic reconstruction queries: near-surface grid voxel centers
-    queries = grid_query_points(pts, 256, 3)
+    queries = np.asarray(grid_query_points(pts, 256, 3), np.float32)
 
-    batch = int(os.environ.get("P2S_BENCH_BATCH", "4096"))
     dtype = (
         jnp.bfloat16
         if os.environ.get("P2S_BENCH_DTYPE", "") == "bf16"
@@ -73,39 +227,35 @@ def main():
         "pts_sub_sample_ms": jnp.zeros((2, 1000, 3)),
         "imp_surf_query_point_ms": jnp.zeros((2, 3)),
     }
-    variables = model.init(jax.random.key(0), dummy, False)
+    variables = model.init(jax.random.key(0), dummy, True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
-    outputs = ("imp_surf_magnitude", "imp_surf_sign")
-    query_fn = make_sdf_query_fn(model, outputs, cfg, fixed_radius=False)
+    rtt = _measure_rtt(jnp)
 
-    def run(i):
-        q = jnp.asarray(queries[(i * batch) % (len(queries) - batch):][:batch])
-        key = jax.random.key(i)
-        return query_fn(params, batch_stats, pts_dev, q, n, key)
+    qps = bench_qps(jax, jnp, np, model, params, batch_stats, cfg,
+                    pts_dev, n, queries, rtt)
 
-    # compile + warmup
-    jax.block_until_ready(run(0))
+    result = {
+        "metric": "sdf_queries_per_sec_per_chip",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }
 
-    iters = int(os.environ.get("P2S_BENCH_ITERS", "10"))
-    t0 = time.time()
-    for i in range(1, iters + 1):
-        out = run(i)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    qps = batch * iters / dt
+    if os.environ.get("P2S_BENCH_SKIP_TRAIN", "") != "1":
+        pps = bench_train(jax, jnp, np, model, params, batch_stats, cfg,
+                          pts_dev, n, queries, rtt)
+        result["train_patches_per_sec"] = round(pps, 1)
+        result["train_vs_baseline"] = round(pps / BASELINE_TRAIN_PPS, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "sdf_queries_per_sec_per_chip",
-                "value": round(qps, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(qps / BASELINE_QPS, 3),
-            }
-        )
-    )
+    if os.environ.get("P2S_BENCH_SKIP_MESH", "") != "1":
+        spm = bench_mesh(jax, jnp, np, model, params, batch_stats, cfg,
+                         pts_dev, n, pts, rtt)
+        result["secs_per_mesh_256"] = round(spm, 2)
+        result["mesh_vs_baseline"] = round(BASELINE_SECS_PER_MESH / spm, 3)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

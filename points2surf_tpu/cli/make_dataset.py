@@ -36,25 +36,13 @@ def main(args=None):
                         num_processes=a.workers)
         return
 
-    if a.scanner == "blensor":
-        from points2surf_tpu.datagen import blensor
-        from points2surf_tpu.datagen.make_dataset import read_settings
-
-        s = read_settings(a.base_dir, a.name)
-        scripts = blensor.write_blensor_scripts(
-            a.base_dir, a.name, "03_meshes", "04_pcd", "04_blensor_py",
-            s["num_scans_per_mesh_min"], s["num_scans_per_mesh_max"],
-            s["scanner_noise_sigma_min"], s["scanner_noise_sigma_max"],
-        )
-        blensor.run_blensor(a.blensor_bin, scripts, a.workers)
-        return
-
     from points2surf_tpu.datagen.make_dataset import make_dataset
 
     make_dataset(
         a.name, base_dir=a.base_dir, num_processes=a.workers,
         num_query_pts=a.num_query_pts, num_max_faces=a.num_max_faces,
         far_query_pts_ratio=a.far_query_pts_ratio, debug=bool(a.debug),
+        scanner=a.scanner, blensor_bin=a.blensor_bin,
     )
 
 

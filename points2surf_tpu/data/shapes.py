@@ -88,7 +88,10 @@ class ShapeStore:
         self._use_counter = 0
         self._used_at: dict[int, int] = {}
 
-        # per-shape patch counts (reference data_loader.py:279-318)
+        # per-shape patch counts (reference data_loader.py:279-318).
+        # Reconstruction counts need the full grid-query computation per
+        # shape, so they are filled lazily on first get() (-1 = unknown) —
+        # an eager scan made eval startup O(minutes) on 100+ shape sets.
         self.shape_patch_count: list[int] = []
         for i, name in enumerate(self.shape_names):
             if with_query and not reconstruction:
@@ -98,10 +101,13 @@ class ShapeStore:
                 )
                 self.shape_patch_count.append(int(dist.shape[0]))
             elif reconstruction:
-                shape = self.get(i)
-                self.shape_patch_count.append(int(shape.query_pts.shape[0]))
+                self.shape_patch_count.append(-1)
             else:
-                pts = self._load_pts(name)
+                npy = os.path.join(root, "04_pts", name + ".xyz.npy")
+                if os.path.isfile(npy):
+                    pts = np.load(npy, mmap_mode="r")
+                else:
+                    pts = self._load_pts(name)
                 self.shape_patch_count.append(int(pts.shape[0]))
 
     def _load_pts(self, name: str) -> np.ndarray:
@@ -111,8 +117,38 @@ class ShapeStore:
             pts = pts[:, :3]  # tolerate appended normals (data_loader.py:33-34)
         return np.ascontiguousarray(pts, np.float32)
 
+    def _grid_queries(self, name: str, pts: np.ndarray) -> np.ndarray:
+        """Reconstruction query points = grid voxel centers near the cloud,
+        cached on disk keyed by (resolution, epsilon) and invalidated via
+        mtime against the point cloud (reference-style call_necessary)."""
+        pts_file = os.path.join(self.root, "04_pts", name + ".xyz.npy")
+        cache_file = os.path.join(
+            self.root,
+            "cache",
+            f"grid_queries_r{self.query_grid_resolution}_e{self.epsilon}",
+            name + ".npy",
+        )
+        if os.path.isfile(pts_file) and not file_utils.call_necessary(
+            pts_file, cache_file
+        ):
+            return np.load(cache_file).astype(np.float32)
+        q = np.asarray(
+            voxel.grid_query_points(
+                pts, self.query_grid_resolution, self.epsilon
+            ),
+            np.float32,
+        )
+        try:
+            file_utils.make_dir_for_file(cache_file)
+            np.save(cache_file, q)
+        except OSError:
+            pass  # read-only dataset dirs: just skip the disk cache
+        return q
+
     def get(self, index: int) -> Shape:
         """Host-side shape (LRU-cached)."""
+        self._use_counter += 1
+        self._used_at[index] = self._use_counter
         if index in self._host_cache:
             return self._host_cache[index]
         name = self.shape_names[index]
@@ -120,9 +156,8 @@ class ShapeStore:
         query_pts = None
         query_dist = None
         if self.reconstruction:
-            query_pts = voxel.grid_query_points(
-                pts, self.query_grid_resolution, self.epsilon
-            )
+            query_pts = self._grid_queries(name, pts)
+            self.shape_patch_count[index] = int(query_pts.shape[0])
         elif self.with_query:
             query_pts = np.load(
                 os.path.join(self.root, "05_query_pts", name + ".ply.npy")
@@ -159,11 +194,20 @@ class ShapeStore:
 
     @property
     def total_patch_count(self) -> int:
+        """Sum of per-shape patch counts. In reconstruction mode this forces
+        the (disk-cached) grid-query computation for every not-yet-visited
+        shape — prefer iterating shapes and reading counts as they fill."""
+        for i, c in enumerate(self.shape_patch_count):
+            if c < 0:
+                self.get(i)
         return sum(self.shape_patch_count)
 
     def shape_index(self, global_index: int) -> tuple[int, int]:
         """Global patch index -> (shape index, local patch index)
         (reference data_loader.py:427-437, but O(log n))."""
+        assert all(c >= 0 for c in self.shape_patch_count), (
+            "shape_index needs materialized patch counts"
+        )
         offsets = np.cumsum([0] + self.shape_patch_count)
         si = int(np.searchsorted(offsets, global_index, side="right") - 1)
         return si, int(global_index - offsets[si])

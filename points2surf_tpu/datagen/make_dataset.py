@@ -341,8 +341,14 @@ def get_patch_radius(grid_res, epsilon):
 
 def make_dataset(dataset_name, base_dir="datasets", num_processes=4,
                  num_query_pts=2000, num_max_faces=50000,
-                 far_query_pts_ratio=0.1, debug=False):
-    """Full pipeline driver (reference make_dataset.py:731-850)."""
+                 far_query_pts_ratio=0.1, debug=False,
+                 scanner="native", blensor_bin=None):
+    """Full pipeline driver (reference make_dataset.py:731-850).
+
+    scanner: 'native' = on-device raycaster (default); 'blensor' = external
+    BlenSor/Blender subprocesses + scan merge-back (requires blensor_bin),
+    the reference's original path.
+    """
     settings = read_settings(base_dir, dataset_name)
     patch_radius = get_patch_radius(
         settings["grid_resolution"], settings["epsilon"]
@@ -368,13 +374,28 @@ def make_dataset(dataset_name, base_dir="datasets", num_processes=4,
     )
     normalize_meshes(base_dir, "02_meshes_cleaned", "03_meshes",
                      dataset_name, num_processes)
-    sample_scans(
-        base_dir, dataset_name, "03_meshes", "04_pts", "04_pts_vis",
-        settings["num_scans_per_mesh_min"],
-        settings["num_scans_per_mesh_max"],
-        settings["scanner_noise_sigma_min"],
-        settings["scanner_noise_sigma_max"],
-    )
+    if scanner == "blensor":
+        from points2surf_tpu.datagen.blensor import sample_blensor
+
+        if not blensor_bin:
+            raise ValueError("scanner='blensor' requires blensor_bin")
+        sample_blensor(
+            base_dir, dataset_name, blensor_bin,
+            "03_meshes", "04_pts", "04_pts_vis",
+            settings["num_scans_per_mesh_min"],
+            settings["num_scans_per_mesh_max"],
+            settings["scanner_noise_sigma_min"],
+            settings["scanner_noise_sigma_max"],
+            num_processes=num_processes,
+        )
+    else:
+        sample_scans(
+            base_dir, dataset_name, "03_meshes", "04_pts", "04_pts_vis",
+            settings["num_scans_per_mesh_min"],
+            settings["num_scans_per_mesh_max"],
+            settings["scanner_noise_sigma_min"],
+            settings["scanner_noise_sigma_max"],
+        )
     clean_up_broken_inputs(
         base_dir, dataset_name, "04_pts", ".xyz.npy",
         ["00_base_meshes", "01_base_meshes_ply", "02_meshes_cleaned",

@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-from scipy import spatial
 
 from points2surf_tpu.evalx.metrics import chamfer_distance_files
 from points2surf_tpu.utils import file_utils, mesh_io
@@ -83,10 +82,15 @@ def apply_meshlab_filter(
 
 def get_pts_normals(
     base_dir, dataset_dir, dir_in_pointcloud, dir_in_meshes,
-    dir_out_normals, samples_per_model=10000, num_processes=1,
+    dir_out_normals, samples_per_model=None, num_processes=1,
 ):
-    """GT normals for point clouds from the nearest face of the source mesh
-    (reference source/base/utils.py:109-164)."""
+    """GT normals for point clouds from the EXACT closest face of the source
+    mesh (reference source/base/utils.py:109-164 +
+    point_cloud.get_closest_distance_batched :197-220), via the on-device
+    closest-point primitive. ``samples_per_model`` is accepted for API
+    compatibility and ignored (the exact primitive needs no sampling)."""
+    from points2surf_tpu.ops.meshdist import closest_point_on_mesh
+
     d_pts = os.path.join(base_dir, dataset_dir, dir_in_pointcloud)
     d_mesh = os.path.join(base_dir, dataset_dir, dir_in_meshes)
     d_out = os.path.join(base_dir, dataset_dir, dir_out_normals)
@@ -103,13 +107,10 @@ def get_pts_normals(
         if not file_utils.call_necessary([pts_file, mesh_file],
                                          [out_npy, out_xyz]):
             continue
-        pts = np.load(pts_file)[:, :3]
+        pts = np.load(pts_file)[:, :3].astype(np.float32)
         v, faces = mesh_io.load_mesh(mesh_file)
-        mesh = Mesh(v, faces)
-        samples, face_ids = mesh.sample_surface(samples_per_model)
-        tree = spatial.cKDTree(samples)
-        _, sample_ids = tree.query(pts, 1)
-        normals = mesh.face_normals[face_ids[sample_ids]]
+        _, _, face_ids = closest_point_on_mesh(v, faces, pts)
+        normals = Mesh(v, faces).face_normals[face_ids]
         np.save(out_npy, normals.astype(np.float32))
         mesh_io.write_xyz(out_xyz, pts, normals=normals)
 

@@ -186,6 +186,7 @@ def mesh_comparison(
         return matches[0] if matches else None
 
     call_params = []
+    no_ref = []  # reconstructions without a reference mesh -> -2 rows
     for nf in new_files:
         if nf.split(".")[0] in compare_set:
             rf = ref_for(nf)
@@ -197,6 +198,8 @@ def mesh_comparison(
                         samples_per_model,
                     )
                 )
+            else:
+                no_ref.append(nf)
     if not call_params:
         raise ValueError("Results are empty!")
 
@@ -211,12 +214,23 @@ def mesh_comparison(
         for h, c in zip(res_h, res_c)
     ]
 
-    matched = {os.path.basename(p[0]).split(".")[0] for p in call_params}
-    for missing_ref in sorted(compare_set - matched):
+    # sentinel rows (reference evaluation.py:365-380 + CSV header contract):
+    # -2 = reconstruction present but its reference mesh is missing;
+    # -1 = compare-set entry with no reconstruction at all.
+    for nf in sorted(no_ref):
         results.append(
             (
-                os.path.join(new_meshes_dir_abs, missing_ref),
-                os.path.join(ref_meshes_dir_abs, missing_ref),
+                os.path.join(new_meshes_dir_abs, nf),
+                os.path.join(ref_meshes_dir_abs, nf.split(".")[0]),
+                "-2", "-2", "-2", "-2",
+            )
+        )
+    remaining = compare_set - {nf.split(".")[0] for nf in new_files}
+    for missing_rec in sorted(remaining):
+        results.append(
+            (
+                os.path.join(new_meshes_dir_abs, missing_rec),
+                os.path.join(ref_meshes_dir_abs, missing_rec),
                 "-1", "-1", "-1", "-1",
             )
         )

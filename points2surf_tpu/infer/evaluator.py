@@ -164,7 +164,12 @@ def points_to_surf_eval(eval_opt):
 
         rng = np.random.RandomState(eval_opt.seed)
         base_key = jax.random.key(eval_opt.seed)
-        print(f"evaluating {store.total_patch_count} patches")
+        if eval_opt.reconstruction:
+            # patch counts are lazy in reconstruction mode (grid queries are
+            # computed per shape on first touch) — don't force a full scan
+            print(f"reconstructing {len(store.shape_names)} shapes")
+        else:
+            print(f"evaluating {store.total_patch_count} patches")
         step = 0
         for shape_ind, name in enumerate(store.shape_names):
             shape = store.get(shape_ind)

@@ -59,9 +59,9 @@ def _build_and_load():
 
 
 def marching_tetrahedra(vol: np.ndarray, level: float = 0.0):
-    """Native isosurface extraction; same contract as the numpy version."""
-    from points2surf_tpu.ops.marching_cubes import _orient_faces
-
+    """Native isosurface extraction; same contract as the numpy version.
+    Faces come back already oriented (the kernel applies the same
+    gradient-vs-normal rule as marching_cubes._orient_faces)."""
     lib = _build_and_load()
     vol = np.ascontiguousarray(vol, np.float32)
     rx, ry, rz = vol.shape
@@ -86,7 +86,6 @@ def marching_tetrahedra(vol: np.ndarray, level: float = 0.0):
         lib.mt_free(verts_p)
         lib.mt_free(faces_p)
 
-    faces = _orient_faces(verts, faces, vol)
     good = (
         (faces[:, 0] != faces[:, 1])
         & (faces[:, 1] != faces[:, 2])

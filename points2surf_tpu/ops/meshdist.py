@@ -22,12 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _point_triangle_sqdist(p, a, b, c):
-    """Squared distance from points to triangles, fully broadcast.
+def _point_triangle_closest(p, a, b, c):
+    """Closest point on triangles + squared distance, fully broadcast.
 
     Ericson, "Real-Time Collision Detection", closest-point-on-triangle,
     expressed as a flat where-chain (vectorizes on the VPU).
     p: (..., 3); a, b, c: (..., 3) — broadcast together.
+    Returns (sqdist (...,), closest (..., 3)).
     """
     ab = b - a
     ac = c - a
@@ -74,7 +75,11 @@ def _point_triangle_sqdist(p, a, b, c):
     q = jnp.where((d1 <= 0)[..., None] & (d2 <= 0)[..., None], a, q)
 
     diff = p - q
-    return jnp.sum(diff * diff, -1)
+    return jnp.sum(diff * diff, -1), q
+
+
+def _point_triangle_sqdist(p, a, b, c):
+    return _point_triangle_closest(p, a, b, c)[0]
 
 
 def _solid_angle(p, a, b, c):
@@ -144,6 +149,93 @@ def signed_distance_padded(
     # orientation (winding is ±1 inside, ~0 outside)
     sign = jnp.where(jnp.abs(winding) > 0.5, 1.0, -1.0)
     return sign * jnp.sqrt(best_sq), winding
+
+
+@functools.partial(jax.jit, static_argnames=("tri_chunk",))
+def closest_point_padded(
+    queries: jax.Array,
+    tri_a: jax.Array,
+    tri_b: jax.Array,
+    tri_c: jax.Array,
+    n_tris: jax.Array,
+    tri_chunk: int = 2048,
+):
+    """Exact closest point on a (padded) triangle soup.
+
+    Returns (closest (Q, 3), sqdist (Q,), face_id (Q,) int32) — the on-device
+    equivalent of the reference's batched trimesh closest_point pool
+    (source/base/point_cloud.py:197-220).
+    """
+    fp = tri_a.shape[0]
+    num_chunks = -(-fp // tri_chunk)
+    q_n = queries.shape[0]
+
+    def body(carry, ci):
+        best_sq, best_q, best_id = carry
+        s = ci * tri_chunk
+        a = jax.lax.dynamic_slice(tri_a, (s, 0), (tri_chunk, 3))
+        b = jax.lax.dynamic_slice(tri_b, (s, 0), (tri_chunk, 3))
+        c = jax.lax.dynamic_slice(tri_c, (s, 0), (tri_chunk, 3))
+        col = s + jax.lax.broadcasted_iota(jnp.int32, (1, tri_chunk), 1)
+        valid = col < n_tris  # (1, chunk)
+        p = queries[:, None, :]  # (Q, 1, 3)
+        sq, cp = _point_triangle_closest(p, a[None], b[None], c[None])
+        sq = jnp.where(valid, sq, jnp.inf)
+        arg = jnp.argmin(sq, axis=1)  # (Q,)
+        rows = jnp.arange(q_n)
+        sq_c = sq[rows, arg]
+        better = sq_c < best_sq
+        best_q = jnp.where(better[:, None], cp[rows, arg], best_q)
+        best_id = jnp.where(better, (s + arg).astype(jnp.int32), best_id)
+        best_sq = jnp.minimum(best_sq, sq_c)
+        return (best_sq, best_q, best_id), None
+
+    init = (
+        jnp.full((q_n,), jnp.inf, jnp.float32),
+        jnp.zeros((q_n, 3), jnp.float32),
+        jnp.zeros((q_n,), jnp.int32),
+    )
+    (best_sq, best_q, best_id), _ = jax.lax.scan(
+        body, init, jnp.arange(num_chunks)
+    )
+    return best_q, best_sq, best_id
+
+
+def closest_point_on_mesh(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    queries: np.ndarray,
+    query_batch: int = 8192,
+    tri_chunk: int = 2048,
+):
+    """Host wrapper: exact closest point / distance / face id per query
+    (reference get_closest_distance_batched, point_cloud.py:197-220)."""
+    f = np.asarray(faces, np.int64)
+    v = np.asarray(vertices, np.float32)
+    n_tris = len(f)
+    fp = max(tri_chunk, -(-n_tris // tri_chunk) * tri_chunk)
+    tri = np.zeros((3, fp, 3), np.float32)
+    tri[:, :n_tris] = v[f.T]
+    ta, tb, tc = (jnp.asarray(t) for t in tri)
+
+    n_q = len(queries)
+    closest = np.empty((n_q, 3), np.float32)
+    dist = np.empty(n_q, np.float32)
+    face_ids = np.empty(n_q, np.int64)
+    for s in range(0, n_q, query_batch):
+        q = np.asarray(queries[s : s + query_batch], np.float32)
+        nb = len(q)
+        if nb < query_batch:
+            q = np.concatenate(
+                [q, np.zeros((query_batch - nb, 3), np.float32)]
+            )
+        cq, sq, fid = closest_point_padded(
+            jnp.asarray(q), ta, tb, tc, n_tris, tri_chunk=tri_chunk
+        )
+        closest[s : s + nb] = np.asarray(cq)[:nb]
+        dist[s : s + nb] = np.sqrt(np.asarray(sq)[:nb])
+        face_ids[s : s + nb] = np.asarray(fid)[:nb]
+    return closest, dist, face_ids
 
 
 def signed_distance(

@@ -82,6 +82,41 @@ def _box_sum(vol: jax.Array, size: int) -> jax.Array:
     return x
 
 
+def _band_matrix(n: int, size: int) -> jax.Array:
+    """(n, n) banded ones matrix B with B[i, j] = multiplicity of source row
+    j in the edge-replicated length-``size`` window centered at i; B @ x is
+    the 1-D box-filter sum with mode='nearest' borders. Row sums == size."""
+    offs = jnp.arange(size) - (size - 1) // 2
+    src = jnp.clip(jnp.arange(n)[:, None] + offs[None, :], 0, n - 1)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], src.shape)
+    return jnp.zeros((n, n), jnp.bfloat16).at[rows, src].add(1.0)
+
+
+def _box_sum_int(vol: jax.Array, size: int) -> jax.Array:
+    """Exact (size^3) box-filter sum for volumes whose values are small
+    integers (|v| <= 1 here: sign fields / binary occupancy).
+
+    Same semantics as :func:`_box_sum` but expressed as three banded-matrix
+    matmuls in bf16 so the filter rides the MXU instead of the sequential
+    cumsum path — ~20x faster per 256^3 round, and the dominant cost of
+    sign propagation (reference sdf.py:162's scipy convolve). Exactness:
+    all intermediates are integers <= size^2 <= 256, which bf16 represents
+    exactly; the final axis accumulates in f32.
+    """
+    if size * size > 256:  # bf16 integer-exactness bound
+        return _box_sum(vol, size)
+    x = vol.astype(jnp.bfloat16)
+    b0 = _band_matrix(vol.shape[0], size)
+    b1 = _band_matrix(vol.shape[1], size)
+    b2 = _band_matrix(vol.shape[2], size)
+    x = jnp.einsum("ij,jkl->ikl", b0, x,
+                   preferred_element_type=jnp.bfloat16)
+    x = jnp.einsum("ij,kjl->kil", b1, x,
+                   preferred_element_type=jnp.bfloat16)
+    return jnp.einsum("ij,klj->kli", b2, x,
+                      preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("vol_res", "threshold_vs"))
 def near_surface_mask(
     pts_ms: jax.Array, n_valid: jax.Array, vol_res: int, threshold_vs: int
@@ -94,7 +129,7 @@ def near_surface_mask(
     (sdf.py:66) reproduced so query counts match exactly.
     """
     occ = voxelize(pts_ms, n_valid, vol_res).astype(jnp.float32)
-    grown = _box_sum(occ, threshold_vs) > 0.0
+    grown = _box_sum_int(occ, threshold_vs) > 0.0
     keep = jnp.ones((vol_res,), jnp.bool_).at[-1].set(False)
     return (
         grown
@@ -182,7 +217,7 @@ def propagate_sign(
     def body(state):
         sign, _ = state
         unknown_before = jnp.sum(sign == 0.0)
-        conv = _box_sum(sign, sigma)
+        conv = _box_sum_int(sign, sigma)
         new = jnp.where(jnp.abs(conv) < certainty_threshold, 0.0, conv)
         new = jnp.sign(new)
         unknown_after = jnp.sum(new == 0.0)

@@ -327,6 +327,21 @@ class Trainer:
         profile_dir = os.environ.get("P2S_PROFILE_DIR", "")
         profile_window = (5, 10) if profile_dir else None
 
+        # deferred logging: fetching a step's scalars immediately would
+        # sync the device queue every step (the round-1 throughput cap at
+        # debug_interval=1); holding fetches back a few steps lets the
+        # fetched step already be complete while later steps stay enqueued
+        from collections import deque
+
+        log_lag = 4
+        pending_logs: deque = deque()
+
+        def flush_logs(limit=None):
+            while pending_logs and (
+                limit is None or len(pending_logs) > limit
+            ):
+                self._log(*pending_logs.popleft())
+
         for epoch in range(self.start_epoch, opt.nepoch):
             t_epoch = time.time()
             if opt.identical_epochs:
@@ -386,10 +401,11 @@ class Trainer:
                     batchind % opt.debug_interval == 0
                     or batchind == train_num_batch - 1
                 ):
-                    self._log(
+                    pending_logs.append((
                         GREEN + "train" + ENDC, True, epoch, batchind,
                         fraction_done, train_num_batch, loss_list, metrics,
-                    )
+                    ))
+                    flush_logs(limit=log_lag)
 
                 # interleave test batches paced by train progress (:480-509)
                 while (
@@ -405,11 +421,13 @@ class Trainer:
                         self.params, self.batch_stats, tb
                     )
                     test_fraction_done = (test_batchind + 1) / test_num_batch
-                    self._log(
+                    pending_logs.append((
                         BLUE + "test" + ENDC, False, epoch, test_batchind,
                         test_fraction_done, train_num_batch, loss_t, metrics_t,
-                    )
+                    ))
+                    flush_logs(limit=log_lag)
 
+            flush_logs()  # drain deferred scalars before checkpointing
             if epoch % opt.save_interval == 0 or epoch == opt.nepoch - 1:
                 ckpt.save_state(model_filename, self.state_dict())
             if ckpt.is_snapshot_epoch(epoch, opt.nepoch):

@@ -179,3 +179,44 @@ def test_snapshot_epochs():
     assert 0 in snaps and 5 in snaps and 10 in snaps and 50 in snaps
     assert 100 in snaps and 149 in snaps
     assert 37 not in snaps
+
+
+def test_lru_touches_on_get():
+    """get() must refresh recency so hot host shapes survive eviction
+    (round-1 bug: only device_points() updated _used_at)."""
+    store = ShapeStore(ABC, "trainset.txt", with_query=True,
+                       cache_capacity=1)
+    a = store.get(0)
+    assert store.get(0) is a  # still cached
+    store.get(1)  # evicts 0 (capacity 1)
+    assert 0 not in store._host_cache
+    b = store.get(0)
+    store.get(0)
+    # recency of 0 must now beat 1
+    assert store._used_at[0] > store._used_at[1]
+
+
+def test_reconstruction_lazy_counts_and_disk_cache(tmp_path):
+    """Reconstruction patch counts fill lazily; grid queries cache to disk."""
+    import shutil
+
+    root = tmp_path / "ds"
+    shutil.copytree(ABC, root)
+    store = ShapeStore(
+        str(root), "testset.txt", with_query=True, reconstruction=True,
+        query_grid_resolution=32, epsilon=3, cache_capacity=2,
+    )
+    assert store.shape_patch_count == [-1]  # nothing computed in __init__
+    shape = store.get(0)
+    q = shape.query_pts
+    assert store.shape_patch_count[0] == q.shape[0] > 0
+    cache_dir = root / "cache" / "grid_queries_r32_e3"
+    files = list(cache_dir.glob("*.npy"))
+    assert len(files) == 1
+    # second store instance loads from the cache and matches exactly
+    store2 = ShapeStore(
+        str(root), "testset.txt", with_query=True, reconstruction=True,
+        query_grid_resolution=32, epsilon=3, cache_capacity=2,
+    )
+    np.testing.assert_array_equal(store2.get(0).query_pts, q)
+    assert store2.total_patch_count == q.shape[0]

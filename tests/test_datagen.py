@@ -114,3 +114,60 @@ def test_make_dataset_pipeline(raw_dataset, monkeypatch):
     mk.make_dataset("testds", base_dir=raw_dataset, num_processes=1,
                     num_query_pts=500)
     assert time.time() - t0 < 5.0
+
+
+def test_blensor_merge_back_roundtrip(tmp_path, rng):
+    """Synthetic BlenSor scans fed through pcd_files_to_pts must land back
+    in model space matching the native scanner's output convention
+    (reference _pcd_files_to_pts + _blensor_vs_to_ws,
+    make_dataset.py:124-239)."""
+    import gzip
+
+    from points2surf_tpu.datagen import blensor
+    from points2surf_tpu.datagen.scanner import _quat_to_rotmat_np
+
+    mesh = _analytic_mesh("sphere")
+    mesh_file = str(tmp_path / "shape.ply")
+    mesh_io.write_ply(mesh_file, mesh.vertices, mesh.faces)
+
+    # known model-space surface points per scan + the poses that viewed them
+    locations, rotations, _ = scanner.scan_poses(mesh_file, 2, 3, 0.0, 0.0)
+    pts_ms, _ = mesh.sample_surface(40, rng)
+    pcd_files = []
+    for i, (loc, quat) in enumerate(zip(locations, rotations)):
+        rot = _quat_to_rotmat_np(quat)
+        world = pts_ms @ rot.T + loc  # object posed in front of the camera
+        # inverse of right_handed_to_left_handed: (x, y, z) -> (x, z, -y)
+        vs = np.stack([world[:, 0], world[:, 2], -world[:, 1]], axis=1)
+        raw = np.zeros((len(vs) + 1, 16), np.float32)
+        raw[:-1, 3] = 1.0  # hits; the extra row is a miss (distance 0)
+        raw[:-1, 5:8] = vs
+        raw[:-1, 8:11] = vs  # noise-free == noisy (sigma 0)
+        path = str(tmp_path / f"scan_{i:05d}00000.numpy.gz")
+        with gzip.GzipFile(path, "w") as fh:
+            np.savetxt(fh, raw)
+        pcd_files.append(path)
+
+    out_npy = str(tmp_path / "04_pts" / "shape.xyz.npy")
+    ok = blensor.pcd_files_to_pts(
+        pcd_files, mesh_file,
+        str(tmp_path / "shape.xyz.npz"), out_npy,
+        str(tmp_path / "shape.xyz.ply"),
+        list(locations), list(rotations),
+        str(tmp_path / "shape_hits.npz"),
+    )
+    assert ok
+    merged = np.load(out_npy)
+    n_scans = len(pcd_files)
+    assert merged.shape == (40 * n_scans, 6)
+    want = np.tile(pts_ms, (n_scans, 1))
+    np.testing.assert_allclose(merged[:, :3], want, atol=1e-4)
+    # normals must be true face normals of faces near each point
+    norms = np.linalg.norm(merged[:, 3:], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # for a sphere, normal ~ radial direction
+    radial = want / np.linalg.norm(want, axis=1, keepdims=True)
+    cos = np.abs(np.sum(merged[:, 3:] * radial, axis=1))
+    assert cos.min() > 0.8
+    hits = np.load(str(tmp_path / "shape_hits.npz"))["hits_per_scan"]
+    assert (hits == 40).all()

@@ -41,15 +41,21 @@ def test_mesh_comparison_csv(tmp_path, rng):
     os.makedirs(new_dir)
     os.makedirs(ref_dir)
     mesh_io.write_ply(str(new_dir / "shape.ply"), v * 1.05, f)
+    mesh_io.write_ply(str(new_dir / "norefmesh.ply"), v, f)
     mesh_io.write_ply(str(ref_dir / "shape.ply"), v, f)
     mesh_io.write_ply(str(ref_dir / "missing.ply"), v, f)
+    setfile = tmp_path / "testset.txt"
+    setfile.write_text("shape\nnorefmesh\nmissing\n")
     report = tmp_path / "report.csv"
     metrics.mesh_comparison(str(new_dir), str(ref_dir), 1, str(report),
-                            samples_per_model=2000)
+                            samples_per_model=2000,
+                            dataset_file_abs=str(setfile))
     lines = open(report).read().splitlines()
     assert lines[0].startswith("in mesh,ref mesh,Hausdorff")
-    assert len(lines) == 3  # header + matched + missing sentinel
-    assert any(",-1,-1,-1,-1" in ln for ln in lines)
+    # header + matched + no-reconstruction (-1) + no-reference (-2)
+    assert len(lines) == 4
+    assert any("missing" in ln and ",-1,-1,-1,-1" in ln for ln in lines)
+    assert any("norefmesh" in ln and ",-2,-2,-2,-2" in ln for ln in lines)
 
 
 def test_eval_predictions_csv(tmp_path, rng):
@@ -117,3 +123,52 @@ def test_deepsdf_export(tmp_path, rng):
     assert len(n) == inside.sum()
     assert os.path.isfile(out / "specs.json")
     assert os.path.isfile(out / "splits" / "ds_train.json")
+
+
+def test_deepsdf_full_export(tmp_path, rng):
+    """Mesh half of the DeepSDF exporter: SurfaceSamples PLYs +
+    reconstruction SDF samples from scans (reference
+    dataset_for_deepsdf.py:15-165)."""
+    from points2surf_tpu.datagen.deepsdf import export_for_deepsdf
+
+    ds = tmp_path / "mini"
+    (ds / "04_pts").mkdir(parents=True)
+    (ds / "05_query_pts").mkdir()
+    (ds / "05_query_dist").mkdir()
+    (ds / "03_meshes").mkdir()
+    v, f = _sphere_mesh()
+    mesh_io.write_ply(str(ds / "03_meshes" / "s.ply"), v, f)
+    # scan cloud on the sphere surface with radial normals
+    dirs = rng.randn(50, 3)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts = 0.5 * dirs
+    np.save(ds / "04_pts" / "s.xyz.npy",
+            np.concatenate([pts, dirs], axis=1).astype(np.float32))
+    q = rng.rand(30, 3).astype(np.float32) - 0.5
+    np.save(ds / "05_query_pts" / "s.ply.npy", q)
+    np.save(ds / "05_query_dist" / "s.ply.npy",
+            (0.5 - np.linalg.norm(q, axis=1)).astype(np.float32))
+    (ds / "trainset.txt").write_text("s\n")
+    (ds / "testset.txt").write_text("s\n")
+
+    out = tmp_path / "deepsdf"
+    shapes = export_for_deepsdf(str(tmp_path), "mini", str(out))
+    assert shapes == ["s"]
+    # SurfaceSamples PLY exists and parses back to the scan points
+    ply = out / "SurfaceSamples" / "mini" / "all" / "s.ply"
+    assert ply.is_file()
+    vv, _ = mesh_io.read_ply(str(ply))
+    np.testing.assert_allclose(vv, pts.astype(np.float32), atol=1e-6)
+    # reconstruction SDF samples: near pairs at +-eta, far samples signed
+    z = np.load(out / "SdfSamples" / "mini" / "all" / "s.npz")
+    assert set(z.files) >= {"pos", "neg", "pos_far", "neg_far"}
+    np.testing.assert_allclose(z["pos"][:, 3], 0.01, atol=1e-6)
+    np.testing.assert_allclose(z["neg"][:, 3], -0.01, atol=1e-6)
+    # outside offsets must be farther from origin than inside ones
+    assert (np.linalg.norm(z["pos"][:, :3], axis=1) >
+            np.linalg.norm(z["neg"][:, :3], axis=1)).all()
+    # far samples: DeepSDF negative-inside convention on the sphere
+    far = np.concatenate([z["pos_far"], z["neg_far"]])
+    r = np.linalg.norm(far[:, :3], axis=1)
+    want = r - 0.5  # negative inside radius 0.5
+    np.testing.assert_allclose(far[:, 3], want, atol=0.02)

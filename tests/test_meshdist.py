@@ -77,3 +77,57 @@ def test_signed_distance_matches_grid_field(rng):
     got = signed_distance(v, f, q, query_batch=64, tri_chunk=512)
     want = 0.45 - np.linalg.norm(q, axis=1)
     np.testing.assert_allclose(got, want, atol=0.02)
+
+
+def test_closest_point_on_mesh_exact(rng):
+    """Exact closest-point primitive (reference point_cloud.py:197-220):
+    the returned point must lie on the claimed face, its distance must
+    match, and no densely-sampled surface point may be closer."""
+    from points2surf_tpu.ops.marching_cubes import marching_tetrahedra
+    from points2surf_tpu.ops.meshdist import closest_point_on_mesh
+
+    res = 20
+    lin = np.linspace(-1, 1, res, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    field = 0.6 - np.sqrt(x * x + y * y + z * z)
+    v, f = marching_tetrahedra(field.astype(np.float32), 0.0)
+    v = v / (res - 1) * 2.0 - 1.0
+
+    queries = (rng.rand(50, 3).astype(np.float32) * 2.0) - 1.0
+    got_pts, got_dist, got_fid = closest_point_on_mesh(
+        v, f, queries, query_batch=32, tri_chunk=256
+    )
+
+    # 1. returned point sits on the claimed face (within fp eps) and its
+    #    distance matches
+    tri = v[f[got_fid]]  # (Q, 3, 3)
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    n = np.cross(b - a, c - a)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    plane_resid = np.abs(np.sum((got_pts - a) * n, axis=1))
+    assert plane_resid.max() < 1e-4
+    np.testing.assert_allclose(
+        np.linalg.norm(queries - got_pts, axis=1), got_dist, atol=1e-5
+    )
+
+    # 2. dense barycentric sampling cannot beat the reported distance
+    levels = 12
+    ws = []
+    for i in range(levels + 1):
+        for j in range(levels + 1 - i):
+            k = levels - i - j
+            ws.append((i / levels, j / levels, k / levels))
+    ws = np.asarray(ws, np.float32)  # (S, 3)
+    va, vb, vc = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    samples = (
+        ws[:, 0, None, None] * va[None]
+        + ws[:, 1, None, None] * vb[None]
+        + ws[:, 2, None, None] * vc[None]
+    ).reshape(-1, 3)
+    d_sampled = np.min(
+        np.linalg.norm(queries[:, None, :] - samples[None], axis=2), axis=1
+    )
+    assert (got_dist <= d_sampled + 1e-5).all()
+    # and must be close to the sampled min (spacing bound)
+    edge = np.linalg.norm(vb - va, axis=1).max()
+    assert (d_sampled - got_dist <= edge / levels).all()

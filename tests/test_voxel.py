@@ -134,3 +134,23 @@ def test_propagate_sign_matches_oracle(rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
     # interior fully signed
     assert (got[1:-1, 1:-1, 1:-1] != 0).mean() > 0.95
+
+
+def test_box_sum_int_matches_scipy_exactly(rng):
+    """Matmul-path box sum must be bit-exact for sign/occupancy volumes."""
+    vol = rng.choice([-1.0, 0.0, 1.0], size=(11, 13, 9)).astype(np.float32)
+    for size in (3, 5, 7):
+        got = np.asarray(voxel._box_sum_int(jnp.asarray(vol), size))
+        want = ndimage.convolve(
+            vol, np.ones((size, size, size), np.float32), mode="nearest"
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_box_sum_int_large_kernel_fallback(rng):
+    vol = rng.choice([0.0, 1.0], size=(40, 40, 40)).astype(np.float32)
+    got = np.asarray(voxel._box_sum_int(jnp.asarray(vol), 17))
+    want = ndimage.convolve(
+        vol, np.ones((17,) * 3, np.float32), mode="nearest"
+    )
+    np.testing.assert_allclose(got, want, atol=1e-2)
