@@ -26,7 +26,22 @@ def main(args=None):
     p.add_argument("--pc_only", type=int, default=0,
                    help="1: point-cloud-only dataset (make_pc_dataset)")
     p.add_argument("--target_num_points", type=int, default=50000)
+    p.add_argument("--procedural", type=int, default=0,
+                   help="generate N procedural watertight base meshes "
+                        "first (ABC stand-in, datagen/procedural.py)")
+    p.add_argument("--procedural_seed", type=int, default=0)
     a = p.parse_args(args)
+
+    if a.procedural > 0:
+        import os
+
+        from points2surf_tpu.datagen.procedural import make_procedural_meshes
+
+        out = os.path.join(a.base_dir, a.name)
+        names = make_procedural_meshes(out, a.procedural,
+                                       seed=a.procedural_seed)
+        print(f"procedural: wrote {len(names)} base meshes to "
+              f"{out}/00_base_meshes")
 
     if a.pc_only:
         from points2surf_tpu.datagen.make_pc_dataset import make_pc_dataset

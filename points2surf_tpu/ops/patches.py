@@ -14,14 +14,15 @@ are Morton-sorted on device and grouped into spatial tiles; each tile
 selects one shared candidate set — the M points nearest the tile centroid
 (a single top-M row per tile) — then every query runs an EXACT top-k over
 those candidates, with a per-tile soundness certificate
-(``d_k(q) + |q - centroid| <= R_M``). If any tile fails, ONE whole-batch
-cond falls back to high-recall dense selection (quality-neutral on
-reconstructions, docs/VALIDATION.md). Reconstruction query lists are
-Morton-ordered on the host (ops/voxel.grid_query_points) so batches are
-tight blocks and certify most of the time. Training batches (spread
-random patches, where selection noise is just augmentation) use the
-cheap dense-approx path directly; ball mode and ``exact`` use dense
-passes.
+(``d_k(q) + |q - centroid| <= R_M``; ball mode certifies candidate-set
+completeness via ``max|q - centroid| + r <= R_M``). If any tile fails,
+ONE whole-batch cond falls back to high-recall dense selection
+(quality-neutral on reconstructions, docs/VALIDATION.md). Reconstruction
+query lists are Morton-ordered on the host (ops/voxel.grid_query_points)
+so batches are tight blocks and certify most of the time. Training
+batches (spread random patches, where selection noise is just
+augmentation) use the cheap dense-approx path directly; ``exact`` uses
+dense passes.
 
 Sub-sampling (distance-weighted, without replacement) runs as Gumbel-top-k
 over a uniform decimation of the cloud (statistically equivalent for dense
@@ -87,31 +88,56 @@ def _morton_codes(q: jax.Array) -> jax.Array:
     return spread(g[:, 0]) | (spread(g[:, 1]) << 1) | (spread(g[:, 2]) << 2)
 
 
-def _tile_knn(points, queries, n_valid, k, cfg, tile):
-    """Morton-tiled kNN with per-tile exactness certificate.
+def _ball_tile_candidates(cfg, n):
+    """Candidate-set size for ball-mode tiles: the certificate needs the
+    candidates to cover every in-ball point of every tile query, and
+    in-ball counts grow ~r^2 — larger radii need a deeper candidate set.
+    Measured sweet spots on a 60k cloud (docs/PERFORMANCE.md): 8192 below
+    r ~ 0.08 (32k q/s), 16384 above (28.9k q/s at r = 0.1 and 0.2, vs
+    19.3k / 13.6k with 8192 where most tiles failed to certify)."""
+    m = cfg.tile_candidates
+    if cfg.patch_radius >= 0.08:
+        m = max(m, 2 * 8192)
+    return min(m, n)
+
+
+def _tile_select(points, queries, n_valid, k, cfg, tile, key, m=None):
+    """Morton-tiled neighbor selection with per-tile exactness certificate.
 
     Each tile selects the M points nearest its centroid as a shared
-    candidate set and runs exact per-query top-k over them. The result is
-    provably exact for a query when ``d_k(q) + |q - c| <= R_M`` (the M-th
-    candidate's centroid distance) — using the candidate-estimated d_k,
-    which over-estimates the true one, so a passing check is sound. When
-    n_valid <= M the candidate set is exhaustive and the trivially-passing
-    certificate (R_M = inf via masked padding) is also correct.
+    candidate set, then per-query selection runs over those candidates:
 
-    Returns ids (B,k) int32, sqdist (B,k) ascending, pad mask (B,k), and
-    a scalar bool: True iff EVERY tile certified (the caller falls back
-    for the whole batch otherwise).
+    * kNN mode: exact top-k by distance; exact for a query when
+      ``d_k(q) + |q - c| <= R_M`` (the M-th candidate's centroid
+      distance) — using the candidate-estimated d_k, which over-estimates
+      the true one, so a passing check is sound.
+    * ball mode (reference semantics: a uniformly random subset of the
+      in-radius points, point_cloud.py:177-183): random scores over the
+      in-ball candidates; the draw matches the full-cloud draw in
+      distribution whenever the candidate set contains EVERY in-ball
+      point, which ``max_q |q - c| + r <= R_M`` guarantees (any p with
+      |p-q| <= r has |p-c| <= |q-c| + r).
+
+    When n_valid <= M the candidate set is exhaustive and the
+    trivially-passing certificate (R_M = inf via masked padding) is also
+    correct.
+
+    Returns ids (B,k) int32, values (B,k) = -sqdist or NEG_INF, pad mask
+    (B,k), and a scalar bool: True iff EVERY tile certified (the caller
+    falls back for the whole batch otherwise).
     """
     b = queries.shape[0]
     n = points.shape[0]
-    m = min(cfg.tile_candidates, n)
+    if m is None:
+        m = min(cfg.tile_candidates, n)
 
     order = jnp.argsort(_morton_codes(queries))
     qs = queries[order]
 
     col_invalid = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) >= n_valid
 
-    def per_tile(qt):  # (tile, 3)
+    def per_tile(args):
+        ti, qt = args  # scalar tile index, (tile, 3)
         c = jnp.mean(qt, axis=0, keepdims=True)
         dc = _pairwise_sqdist(c, points)[0]  # (N,)
         dc_masked = jnp.where(col_invalid, NEG_INF, -dc)
@@ -122,20 +148,33 @@ def _tile_knn(points, queries, n_valid, k, cfg, tile):
         cp = points[cand]  # (M, 3)
         d2 = _pairwise_sqdist(qt, cp)  # (tile, M)
         cand_invalid = (cand >= n_valid)[None, :]
-        scores = jnp.where(cand_invalid, NEG_INF, -d2)
-        v, i = jax.lax.top_k(scores, k)
-        ids = cand[i]
-
-        # certificate (sound: candidate d_k >= true d_k)
         r_m = jnp.sqrt(jnp.maximum(-neg_dc_cand[-1], 0.0))
-        d_k = jnp.sqrt(jnp.maximum(-v[:, -1], 0.0))
         q_c = jnp.linalg.norm(qt - c, axis=1)
-        certified = jnp.all(
-            jnp.where(jnp.isfinite(v[:, -1]), d_k + q_c <= r_m, True)
-        )
+
+        if cfg.knn_mode:
+            scores = jnp.where(cand_invalid, NEG_INF, -d2)
+            v, i = jax.lax.top_k(scores, k)
+            ids = cand[i]
+            # certificate (sound: candidate d_k >= true d_k)
+            d_k = jnp.sqrt(jnp.maximum(-v[:, -1], 0.0))
+            certified = jnp.all(
+                jnp.where(jnp.isfinite(v[:, -1]), d_k + q_c <= r_m, True)
+            )
+        else:
+            u = jax.random.uniform(jax.random.fold_in(key, ti), (tile, m))
+            in_ball = d2 <= cfg.patch_radius**2
+            scores = jnp.where(cand_invalid | ~in_ball, NEG_INF, u)
+            uv, i = jax.lax.top_k(scores, k)
+            ids = cand[i]
+            d2_sel = jnp.take_along_axis(d2, i, axis=1)
+            v = jnp.where(jnp.isfinite(uv), -d2_sel, NEG_INF)
+            certified = jnp.max(q_c) + cfg.patch_radius <= r_m
         return v, ids, certified
 
-    v_t, ids_t, cert_t = jax.lax.map(per_tile, qs.reshape(-1, tile, 3))
+    n_tiles = qs.shape[0] // tile
+    v_t, ids_t, cert_t = jax.lax.map(
+        per_tile, (jnp.arange(n_tiles), qs.reshape(n_tiles, tile, 3))
+    )
     ids_sorted = ids_t.reshape(b, k).astype(jnp.int32)
     v_sorted = v_t.reshape(b, k)
 
@@ -172,7 +211,11 @@ def _dense_select(points, queries, n_valid, k, cfg, key, approx_ok=False):
         u = jax.random.uniform(jax.random.fold_in(key, ci), (qc, n))
         in_ball = d2 <= cfg.patch_radius**2
         scores = jnp.where(invalid | ~in_ball, NEG_INF, u)
-        v, i = _top_k(scores, k, cfg.exact, cfg.recall_target)
+        # eval callers (approx_ok=False) need the exact uniform-subset
+        # semantics: approx_max_k over the random priorities can MISS
+        # in-ball points of under-full balls (recall < 1), producing
+        # incomplete patches. Training tolerates that as selection noise.
+        v, i = _top_k(scores, k, exact, cfg.recall_target)
         d2_sel = jnp.take_along_axis(d2, i, axis=1)
         return i, jnp.where(jnp.isfinite(v), -d2_sel, NEG_INF)
 
@@ -304,16 +347,20 @@ def extract_patches(
 
     # ---- patch selection ----
     # eval/reconstruction (train=False): Morton tiles + certificate with
-    # per-tile dense-exact fallback -> always exact, fast when queries are
-    # spatially coherent (grid sweeps). training (train=True): batches are
-    # random surface patches with little coherence, and selection noise is
-    # harmless augmentation -> cheap dense approx (recall ~0.95).
+    # whole-batch dense fallback -> exact (kNN) / distribution-exact
+    # (ball), fast when queries are spatially coherent (grid sweeps).
+    # training (train=True): batches are random surface patches with
+    # little coherence, and selection noise is harmless augmentation ->
+    # cheap dense approx (recall ~0.95).
+    tile_m = (
+        min(cfg.tile_candidates, n) if cfg.knn_mode
+        else _ball_tile_candidates(cfg, n)
+    )
     use_tiles = (
-        cfg.knn_mode
-        and not cfg.exact
+        not cfg.exact
         and not train
         and coherent  # callers with spread queries (GT eval) skip tiles
-        and n > 2 * cfg.tile_candidates
+        and n > 2 * tile_m
         and b >= 64
     )
     if use_tiles:
@@ -326,15 +373,19 @@ def extract_patches(
             if pad_rows
             else queries
         )
-        t_ids, t_sqd, t_pad, all_cert = _tile_knn(
-            points, q_sel, n_valid, k, cfg, tile
+        t_ids, t_sqd, t_pad, all_cert = _tile_select(
+            points, q_sel, n_valid, k, cfg, tile, k_sel, m=tile_m
         )
         if pad_rows:
             t_ids, t_sqd, t_pad = t_ids[:b], t_sqd[:b], t_pad[:b]
         # one whole-batch cond (a per-tile cond inside lax.map lowers to
         # "execute both branches"): any uncertified tile -> recompute the
-        # entire batch against the full cloud with high-recall approx
-        # selection (quality-neutral on reconstructions, docs/VALIDATION).
+        # entire batch against the full cloud. kNN falls back to
+        # high-recall approx selection (quality-neutral on
+        # reconstructions, docs/VALIDATION); ball mode falls back to
+        # EXACT top-k over the random priorities, because approx recall
+        # loss there drops in-ball points from under-full (boundary)
+        # balls rather than swapping near-equivalent neighbors.
         # Result: provably exact when tiles certify (typical for grid
         # sweeps), recall >=0.95 otherwise; --exact_patch_sampling gives
         # guaranteed-exact selection everywhere.
@@ -342,7 +393,8 @@ def extract_patches(
             all_cert,
             lambda _: (t_ids, t_sqd, t_pad),
             lambda _: _dense_select(
-                points, queries, n_valid, k, cfg, k_sel, approx_ok=True
+                points, queries, n_valid, k, cfg, k_sel,
+                approx_ok=cfg.knn_mode,
             ),
             None,
         )

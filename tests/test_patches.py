@@ -136,6 +136,68 @@ def test_spread_queries_stay_exact(rng):
         assert recall > 0.93, f"train={train}: recall {recall}"
 
 
+def test_ball_tiles_select_exact_in_ball_subsets(rng):
+    """Grid-coherent ball-mode batches go through the tile path; certified
+    tiles must behave exactly like the reference's random in-ball subset
+    (point_cloud.py:177-183): every selected id is in-radius, and when the
+    ball holds <= k points ALL of them are selected."""
+    from scipy import spatial as sp
+
+    from points2surf_tpu.ops.voxel import grid_query_points
+
+    pts = (rng.rand(20000, 3).astype(np.float32) * 1.2) - 0.6
+    pad = np.zeros((32768, 3), np.float32)
+    pad[:20000] = pts
+    q = grid_query_points(pts, 64, 3)[:512]
+
+    tree = sp.cKDTree(pts)
+    radius = 0.1
+    cfg = PatchConfig(points_per_patch=48, patch_radius=radius,
+                      sub_sample_size=0)
+    out = extract_patches(
+        jnp.asarray(pad), jnp.asarray(q), 20000, jax.random.key(3),
+        cfg=cfg, train=False,
+    )
+    ids = np.asarray(out["patch_pts_ids"])
+    patch_ps = np.asarray(out["patch_pts_ps"])
+    for i in range(q.shape[0]):
+        in_ball = set(tree.query_ball_point(q[i], radius * (1 + 1e-5)))
+        got = ids[i]
+        # pad slots sit at the patch origin; real slots carry in-ball ids
+        real = got[np.linalg.norm(patch_ps[i], axis=-1) > 1e-7]
+        assert set(real.tolist()) <= in_ball
+        want_n = min(48, len(in_ball))
+        # ties at the radius boundary allow off-by-a-few
+        assert len(np.unique(real)) >= want_n - 2
+    # fixed radius is passed through
+    np.testing.assert_allclose(
+        np.asarray(out["patch_radius_ms"]), radius, rtol=1e-6
+    )
+
+
+def test_ball_tiles_randomize_overfull_patches(rng):
+    """When the ball holds more than k points, the tile path must return a
+    RANDOM k-subset (different keys -> different subsets), matching the
+    reference's rng.choice sub-select (point_cloud.py:181-183)."""
+    from points2surf_tpu.ops.voxel import grid_query_points
+
+    pts = (rng.rand(20000, 3).astype(np.float32) * 0.4) - 0.2  # dense blob
+    pad = np.zeros((32768, 3), np.float32)
+    pad[:20000] = pts
+    q = grid_query_points(pts, 32, 3)[:128]
+    cfg = PatchConfig(points_per_patch=16, patch_radius=0.1,
+                      sub_sample_size=0)
+    a = extract_patches(jnp.asarray(pad), jnp.asarray(q), 20000,
+                        jax.random.key(0), cfg=cfg, train=False)
+    b = extract_patches(jnp.asarray(pad), jnp.asarray(q), 20000,
+                        jax.random.key(1), cfg=cfg, train=False)
+    ia, ib = np.asarray(a["patch_pts_ids"]), np.asarray(b["patch_pts_ids"])
+    overlap = np.mean([
+        len(np.intersect1d(ia[i], ib[i])) / 16 for i in range(128)
+    ])
+    assert overlap < 0.9  # dense blob: balls hold thousands of points
+
+
 def test_coherent_queries_use_certified_tiles(rng):
     """Grid-coherent batches must produce exact results via the tile path."""
     from scipy import spatial as sp
