@@ -74,12 +74,24 @@ class BN(nn.Module):
         )(x)
 
 
+def _scale_pool(h, num_scales: int, sym_op: str = "max"):
+    """Per-scale symmetric pooling: the point axis holds ``num_scales``
+    equal-length segments (one per scale); pool each segment separately and
+    concatenate scale-major along channels (reference model.py:48-56,
+    219-230 multi-scale branches)."""
+    b, n, c = h.shape
+    h = h.reshape(b, num_scales, n // num_scales, c)
+    h = jnp.max(h, axis=2) if sym_op == "max" else jnp.sum(h, axis=2)
+    return h.reshape(b, num_scales * c)
+
+
 class _STNTrunk(nn.Module):
     """Shared conv trunk + FC head of STN/QSTN (model.py:41-64, 100-122)."""
 
     net_size_max: int = 1024
     out_features: int = 9
     dtype: Optional[jnp.dtype] = None
+    num_scales: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -91,7 +103,16 @@ class _STNTrunk(nn.Module):
                 PLinear(self.net_size_max, d, name="conv3")(h), train
             )
         )
-        h = jnp.max(h, axis=-2)  # symmetric max over points
+        # symmetric max over points; per scale segment when multi-scale
+        # (the reference STN pools with max regardless of sym_op,
+        # model.py:25,48-55)
+        h = _scale_pool(h, self.num_scales)
+        if self.num_scales > 1:
+            h = nn.relu(
+                BN(d, name="bn0")(
+                    PLinear(self.net_size_max, d, name="fc0")(h), train
+                )
+            )
         h = nn.relu(
             BN(d, name="bn4")(
                 PLinear(self.net_size_max // 2, d, name="fc1")(h), train
@@ -114,11 +135,13 @@ class STN(nn.Module):
     net_size_max: int = 1024
     dim: int = 64
     dtype: Optional[jnp.dtype] = None
+    num_scales: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = _STNTrunk(
-            self.net_size_max, self.dim * self.dim, self.dtype, name="trunk"
+            self.net_size_max, self.dim * self.dim, self.dtype,
+            self.num_scales, name="trunk"
         )(x, train)
         iden = jnp.eye(self.dim, dtype=h.dtype).reshape(-1)
         return (h + iden).reshape(x.shape[0], self.dim, self.dim)
@@ -134,10 +157,12 @@ class QSTN(nn.Module):
 
     net_size_max: int = 1024
     dtype: Optional[jnp.dtype] = None
+    num_scales: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = _STNTrunk(self.net_size_max, 4, self.dtype, name="trunk")(x, train)
+        h = _STNTrunk(self.net_size_max, 4, self.dtype, self.num_scales,
+                      name="trunk")(x, train)
         quat = h + jnp.asarray([1.0, 0.0, 0.0, 0.0], h.dtype)
         return geometry.quat_to_rotmat(quat), quat
 
@@ -156,6 +181,9 @@ class PointNetFeat(nn.Module):
     use_feat_stn: bool = True
     sym_op: str = "max"
     dtype: Optional[jnp.dtype] = None
+    num_scales: int = 1  # multi-scale branch (reference model.py:166-230):
+    # the point axis carries num_scales equal segments; codeword becomes
+    # (B, output_size * num_scales**2)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -163,9 +191,9 @@ class PointNetFeat(nn.Module):
         trans = None
         trans_quat = None
         if self.use_point_stn:
-            trans, trans_quat = QSTN(self.net_size_max, d, name="stn1")(
-                x, train
-            )
+            trans, trans_quat = QSTN(
+                self.net_size_max, d, self.num_scales, name="stn1"
+            )(x, train)
             x = geometry.transform_points(x, trans)
 
         h = nn.relu(BN(d, name="bn0a")(PLinear(64, d, name="conv0a")(x), train))
@@ -173,7 +201,8 @@ class PointNetFeat(nn.Module):
 
         trans2 = None
         if self.use_feat_stn:
-            trans2 = STN(self.net_size_max, 64, d, name="stn2")(h, train)
+            trans2 = STN(self.net_size_max, 64, d, self.num_scales,
+                         name="stn2")(h, train)
             h = jnp.einsum("bij,bnj->bni", trans2, h)
 
         h = nn.relu(BN(d, name="bn1")(PLinear(64, d, name="conv1")(h), train))
@@ -182,11 +211,16 @@ class PointNetFeat(nn.Module):
             PLinear(self.output_size, d, name="conv3")(h), train
         )
 
-        if self.sym_op == "max":
-            h = jnp.max(h, axis=-2)
-        elif self.sym_op == "sum":
-            h = jnp.sum(h, axis=-2)
-        else:
+        if self.num_scales > 1:
+            # (output_size -> output_size*num_scales) expansion, then pool
+            # each scale segment (reference model.py:207-230)
+            h = BN(d, name="bn4")(
+                PLinear(self.output_size * self.num_scales, d,
+                        name="conv4")(nn.relu(h)), train
+            )
+
+        if self.sym_op not in ("max", "sum"):
             raise ValueError(f"Unsupported symmetric operation: {self.sym_op}")
+        h = _scale_pool(h, self.num_scales, self.sym_op)
 
         return h, trans, trans_quat, trans2

@@ -141,3 +141,43 @@ def test_dataparallel_prefix_stripped(rng):
     sd = {"module." + k: v for k, v in tm.state_dict().items()}
     params, batch_stats = convert_state_dict(sd)
     assert "feat_global" in params
+
+
+def test_multiscale_encoder_parity_with_reference(rng):
+    """num_scales=2 PointNetfeat (the reference's dormant multi-scale
+    branch, model.py:166-230) must match: per-scale pooling + conv4/bn4
+    expansion + STN fc0/bn0 funnel."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from points2surf_tpu.models.import_torch import convert_state_dict
+    from points2surf_tpu.models.pointnet import PointNetFeat
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from source.points_to_surf_model import PointNetfeat as TorchFeat
+
+    num_scales, num_points, out_size = 2, 24, 64
+    tm = TorchFeat(
+        net_size_max=128, num_scales=num_scales, num_points=num_points,
+        use_point_stn=True, use_feat_stn=True, output_size=out_size,
+        sym_op="max",
+    )
+    tm.eval()
+    x_np = rng.randn(5, num_scales * num_points, 3).astype(np.float32)
+    with torch.no_grad():
+        want, _, _, _ = tm(torch.from_numpy(x_np.transpose(0, 2, 1)))
+    want = want.numpy()
+
+    params, batch_stats = convert_state_dict(tm.state_dict())
+    jm = PointNetFeat(
+        net_size_max=128, output_size=out_size, use_point_stn=True,
+        use_feat_stn=True, sym_op="max", num_scales=num_scales,
+    )
+    got, _, _, _ = jm.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(x_np), False,
+    )
+    assert got.shape == (5, out_size * num_scales**2)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
