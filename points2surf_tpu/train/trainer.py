@@ -41,6 +41,19 @@ from points2surf_tpu.train import checkpoint as ckpt
 
 GREEN = "\033[92m"
 BLUE = "\033[94m"
+
+
+def _lookahead(it):
+    """Yield (item, next_item) pairs; next_item is None at the end."""
+    prev = None
+    have_prev = False
+    for item in it:
+        if have_prev:
+            yield prev, item
+        prev = item
+        have_prev = True
+    if have_prev:
+        yield prev, None
 ENDC = "\033[0m"
 
 
@@ -353,8 +366,12 @@ class Trainer:
             test_batchind = -1
             test_fraction_done = 0.0
 
-            for batchind, item in enumerate(
-                self.train_pipe.plan(iter(self.train_sampler), opt.batchSize)
+            for batchind, (item, next_item) in enumerate(
+                _lookahead(
+                    self.train_pipe.plan(
+                        iter(self.train_sampler), opt.batchSize
+                    )
+                )
             ):
                 if profile_window is not None:
                     if self.global_step == profile_window[0]:
@@ -395,6 +412,17 @@ class Trainer:
                     ) = self._train_step(
                         self.params, self.batch_stats, self.opt_state, batch
                     )
+                # prefetch the NEXT shape's cloud (host load + async H2D)
+                # while this step's work is still enqueued on device —
+                # sampler order is known ahead (shape-consecutive), so the
+                # upload hides behind compute instead of stalling the next
+                # step at the shape switch
+                if (
+                    next_item is not None
+                    and next_item[0] == "single"
+                    and (item[0] != "single" or next_item[1] != item[1])
+                ):
+                    self.train_store.device_points(next_item[1])
                 self.global_step += 1
                 fraction_done = (batchind + 1) / train_num_batch
                 if (
