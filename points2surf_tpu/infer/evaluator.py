@@ -171,6 +171,12 @@ def points_to_surf_eval(eval_opt):
         else:
             print(f"evaluating {store.total_patch_count} patches")
         step = 0
+        # host-side result writing (colored vis PLYs are slow IO) runs on a
+        # background thread so the device starts the next shape immediately
+        from concurrent.futures import ThreadPoolExecutor
+
+        saver = ThreadPoolExecutor(max_workers=1)
+        save_futures = []
         for shape_ind, name in enumerate(store.shape_names):
             shape = store.get(shape_ind)
             pts_dev, n_valid = store.device_points(shape_ind)
@@ -207,19 +213,27 @@ def points_to_surf_eval(eval_opt):
             for s, n_q, d in pending:
                 dists[s : s + n_q] = np.asarray(d)[:n_q]
 
-            _save_shape(store, shape_ind, dists, eval_opt, model_out_dir)
+            # hand the writer plain arrays — touching the store from the
+            # worker thread would race the main thread's LRU bookkeeping
+            save_futures.append(saver.submit(
+                _save_shape, name, queries, dists, eval_opt, model_out_dir
+            ))
             if patch_inds is not None:
                 np.savetxt(
                     os.path.join(model_out_dir, name + ".idx"),
                     patch_inds, fmt="%d",
                 )
+        for f in save_futures:
+            f.result()  # surface any writer exception
+        saver.shutdown()
 
 
-def _save_shape(store, shape_ind, dist, eval_opt, model_out_dir):
-    """Write per-shape predictions (reference eval.py:199-294)."""
-    name = store.shape_names[shape_ind]
-    shape = store.get(shape_ind)
-    queries = shape.query_pts
+def _save_shape(name, queries, dist, eval_opt, model_out_dir):
+    """Write per-shape predictions (reference eval.py:199-294).
+
+    Takes plain arrays (the queries actually evaluated — subsampled when
+    ``sequential_shapes_random_patches``) so it can run on a writer thread
+    without touching the ShapeStore."""
 
     if eval_opt.reconstruction:
         # NaN -> 1.0 (tanh cannot produce > 1; reference eval.py:205-207)
