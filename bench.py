@@ -111,9 +111,11 @@ def bench_mesh(jax, jnp, np, model, params, batch_stats, cfg, pts_dev, n,
         dists = np.sign(
             r_mean - np.linalg.norm(queries - center, axis=1)
         ).astype(np.float32) * np.maximum(np.abs(dists), 1e-4)
+        # production volume path (infer/meshing.py): f16 fetch — the 67 MB
+        # f32 volume transfer dominates this stage through the tunnel
         vol = np.asarray(_build_volume(
             jnp.asarray(queries), jnp.asarray(dists), nq, 256, 5, 13
-        ))
+        ).astype(jnp.float16)).astype(np.float32)
         v, f = marching_cubes.extract_isosurface(vol, 0.0)
         assert v.size > 0, "marching produced no surface"
         return time.time() - t0

