@@ -1,0 +1,108 @@
+"""Pipelined meshing directory driver (infer/meshing.py).
+
+Covers the round-2 driver rewrite: query-count bucketing (_pad_queries),
+f16 volume fetch, device/host pipelining, call_necessary skip, and the
+all-zeros input guard — against the single-shape path as oracle
+(reference sdf.py:241-266 semantics)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from points2surf_tpu.infer import meshing
+from points2surf_tpu.ops import voxel
+from points2surf_tpu.utils import mesh_io
+
+GRID = 32
+
+
+def _sphere_queries(radius, n_pts=4000, seed=0):
+    rng = np.random.RandomState(seed)
+    pts = rng.normal(size=(n_pts, 3)).astype(np.float32)
+    pts *= radius / np.linalg.norm(pts, axis=1, keepdims=True)
+    q = voxel.grid_query_points(pts, GRID, 3)
+    dist = (radius - np.linalg.norm(q, axis=1)).astype(np.float32)
+    return q.astype(np.float32), dist
+
+
+@pytest.fixture
+def rec_dirs(tmp_path):
+    dist_dir = tmp_path / "dist_ms"
+    pts_dir = tmp_path / "query_pts_ms"
+    dist_dir.mkdir()
+    pts_dir.mkdir()
+    for name, radius in (("a", 0.4), ("b", 0.55)):
+        q, d = _sphere_queries(radius, seed=hash(name) % 1000)
+        np.save(pts_dir / f"{name}.xyz.npy", q)
+        np.save(dist_dir / f"{name}.xyz.npy", d)
+    # an all-zeros shape must be skipped with a warning, not crash
+    q, _ = _sphere_queries(0.3, seed=7)
+    np.save(pts_dir / "zeros.xyz.npy", q)
+    np.save(dist_dir / "zeros.xyz.npy", np.zeros(len(q), np.float32))
+    return str(dist_dir), str(pts_dir), str(tmp_path / "vol"), str(tmp_path / "mesh")
+
+
+def test_pad_queries_buckets():
+    pts = np.zeros((1000, 3), np.float32)
+    dist = np.ones(1000, np.float32)
+    pp, dd, n = meshing._pad_queries(pts, dist)
+    assert n == 1000
+    assert pp.shape[0] == dd.shape[0] == 131072  # floor bucket
+    assert (dd[:1000] == 1.0).all() and (dd[1000:] == 0.0).all()
+
+    big = np.zeros((200_000, 3), np.float32)
+    pp, _, _ = meshing._pad_queries(big, np.ones(200_000, np.float32))
+    assert pp.shape[0] == 262144  # next power of two
+
+    exact = np.zeros((131072, 3), np.float32)
+    pp, _, _ = meshing._pad_queries(exact, np.ones(131072, np.float32))
+    assert pp.shape[0] == 131072  # no copy needed
+
+
+def test_directory_driver_matches_single_path(rec_dirs, tmp_path, capsys):
+    dist_dir, pts_dir, vol_dir, mesh_dir = rec_dirs
+    meshing.implicit_surface_to_mesh_directory(
+        dist_dir, pts_dir, vol_dir, mesh_dir, GRID, 5, 13
+    )
+    # zeros shape skipped with a warning; the two real shapes meshed
+    out = capsys.readouterr().out
+    assert "contains only zeros" in out
+    assert sorted(os.listdir(mesh_dir)) == ["a.ply", "b.ply"]
+    assert sorted(os.listdir(vol_dir)) == ["a.off", "b.off"]
+
+    for name, radius in (("a", 0.4), ("b", 0.55)):
+        # oracle: the (committed, e2e-validated) single-shape path
+        d = np.load(os.path.join(dist_dir, f"{name}.xyz.npy"))
+        q = np.load(os.path.join(pts_dir, f"{name}.xyz.npy"))
+        ok = meshing.implicit_surface_to_mesh(
+            d, q, str(tmp_path / "o.off"), str(tmp_path / "o.ply"), GRID, 5, 13
+        )
+        assert ok
+        v_dir, f_dir = mesh_io.load_mesh(os.path.join(mesh_dir, f"{name}.ply"))
+        v_one, f_one = mesh_io.load_mesh(str(tmp_path / "o.ply"))
+        # f16 volume fetch: iso-crossing shift < 0.002 voxel -> verts agree
+        assert v_dir.shape == v_one.shape
+        assert f_dir.shape == f_one.shape
+        np.testing.assert_allclose(v_dir, v_one, atol=2e-3 * 2.0 / GRID)
+        r = np.linalg.norm(v_dir, axis=1)
+        assert abs(np.median(r) - radius) < 2.5 / GRID
+
+
+def test_directory_driver_incremental_skip(rec_dirs, capsys):
+    dist_dir, pts_dir, vol_dir, mesh_dir = rec_dirs
+    meshing.implicit_surface_to_mesh_directory(
+        dist_dir, pts_dir, vol_dir, mesh_dir, GRID, 5, 13
+    )
+    mtimes = {
+        f: os.path.getmtime(os.path.join(mesh_dir, f))
+        for f in os.listdir(mesh_dir)
+    }
+    capsys.readouterr()
+    # second run: call_necessary sees fresh outputs and does nothing
+    meshing.implicit_surface_to_mesh_directory(
+        dist_dir, pts_dir, vol_dir, mesh_dir, GRID, 5, 13
+    )
+    assert "Isosurface extraction" not in capsys.readouterr().out
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(mesh_dir, f)) == m
