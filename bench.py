@@ -104,10 +104,11 @@ def bench_mesh(jax, jnp, np, model, params, batch_stats, cfg, pts_dev, n,
                 q = np.concatenate([q, np.repeat(q[:1], batch - nb, axis=0)])
             d = query_fn(params, batch_stats, pts_dev, jnp.asarray(q), n,
                          jax.random.key(s))
-            pending.append((s, nb, d))
-        dists = np.empty(nq, np.float32)
-        for s, nb, d in pending:
-            dists[s:s + nb] = np.asarray(d)[:nb]
+            pending.append(d)
+        # fixed-arity device concat + few fetches (per-batch fetches cost a
+        # tunnel round-trip each; same helper as infer/evaluator.py)
+        from points2surf_tpu.infer.query import drain_batched_results
+        dists = drain_batched_results(pending, nq)
         dists = np.sign(
             r_mean - np.linalg.norm(queries - center, axis=1)
         ).astype(np.float32) * np.maximum(np.abs(dists), 1e-4)

@@ -16,7 +16,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from points2surf_tpu.data.shapes import ShapeStore
-from points2surf_tpu.infer.query import make_sdf_query_fn
+from points2surf_tpu.infer.query import (
+    drain_batched_results,
+    make_sdf_query_fn,
+)
 from points2surf_tpu.ops.patches import PatchConfig
 from points2surf_tpu.train import checkpoint as ckpt
 from points2surf_tpu.train.trainer import build_model, output_spec
@@ -192,8 +195,11 @@ def points_to_surf_eval(eval_opt):
                     f"Unknown sampling strategy: {eval_opt.sampling}"
                 )
 
-            # dispatch all batches asynchronously; fetch once at shape end
-            # (a per-batch host sync costs a full device round-trip each)
+            # dispatch all batches asynchronously, concatenate the per-batch
+            # results ON DEVICE, and fetch ONE array per shape: per-batch
+            # np.asarray costs a full host<->device round-trip each (~27 ms
+            # tunneled), which at 500 batches/shape on large grids would be
+            # ~13 s/shape of pure latency
             pending = []
             for s in range(0, len(queries), batch_size):
                 q = queries[s : s + batch_size]
@@ -208,10 +214,8 @@ def points_to_surf_eval(eval_opt):
                     jax.random.fold_in(base_key, step),
                     small_cloud=small,
                 )
-                pending.append((s, n_q, d))
-            dists = np.empty(len(queries), np.float32)
-            for s, n_q, d in pending:
-                dists[s : s + n_q] = np.asarray(d)[:n_q]
+                pending.append(d)
+            dists = drain_batched_results(pending, len(queries))
 
             # hand the writer plain arrays — touching the store from the
             # worker thread would race the main thread's LRU bookkeeping

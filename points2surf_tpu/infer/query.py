@@ -18,6 +18,34 @@ from points2surf_tpu.models import losses as L
 from points2surf_tpu.ops.patches import PatchConfig, extract_patches
 
 
+def drain_batched_results(pending, n_total: int, group: int = 64):
+    """Fetch a list of equal-shape (B,) device arrays as ONE host array.
+
+    Concatenates on device in fixed-arity groups of ``group`` (padding the
+    last group by repeating its final array) so XLA compiles exactly one
+    concat program regardless of how many batches a shape produced, and the
+    host pays ceil(n/group) round-trips instead of one per batch (~27 ms
+    each through a tunneled chip; large grids run 500+ batches per shape).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    if not pending:
+        return np.empty(0, np.float32)
+    b = pending[0].shape[0]
+    res = np.empty(len(pending) * b, np.float32)
+    off = 0
+    for g in range(0, len(pending), group):
+        gr = pending[g : g + group]
+        n_real = len(gr)
+        if n_real < group:
+            gr = gr + [gr[-1]] * (group - n_real)
+        cat = np.asarray(jnp.concatenate(gr))
+        res[off : off + n_real * b] = cat[: n_real * b]
+        off += n_real * b
+    return res[:n_total]
+
+
 def make_sdf_query_fn(model, outputs, patch_cfg: PatchConfig,
                       fixed_radius: bool, augment: bool = False,
                       mesh=None, coherent: bool = True):

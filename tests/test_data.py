@@ -220,3 +220,24 @@ def test_reconstruction_lazy_counts_and_disk_cache(tmp_path):
     )
     np.testing.assert_array_equal(store2.get(0).query_pts, q)
     assert store2.total_patch_count == q.shape[0]
+
+
+def test_drain_batched_results_order_and_padding():
+    """drain_batched_results must reproduce per-batch fetch order exactly,
+    across group boundaries and with a padded final group."""
+    import jax.numpy as jnp
+
+    from points2surf_tpu.infer.query import drain_batched_results
+
+    b = 7
+    for n_batches, n_total in ((1, 5), (3, 21), (9, 60), (130, 906)):
+        chunks = [
+            jnp.arange(i * b, (i + 1) * b, dtype=jnp.float32)
+            for i in range(n_batches)
+        ]
+        out = drain_batched_results(chunks, n_total, group=4)
+        assert out.shape == (n_total,)
+        np.testing.assert_array_equal(
+            out, np.arange(n_total, dtype=np.float32)
+        )
+    assert drain_batched_results([], 0).shape == (0,)
