@@ -94,10 +94,26 @@ def write_blensor_scripts(
             scan_sigmas=str([float(sigma)] * len(locations)),
         )
         script_file = os.path.join(dir_scripts_abs, f[:-4] + ".py")
-        with open(script_file, "w") as fh:
-            fh.write(script)
-        scripts.append(script_file)
+        # don't bump the script's mtime when nothing changed — it is a
+        # call_necessary input for the Blender run below
+        if not (
+            os.path.isfile(script_file)
+            and open(script_file).read() == script
+        ):
+            with open(script_file, "w") as fh:
+                fh.write(script)
+        scripts.append((script_file, mesh_file, f[:-4], len(locations)))
     return scripts
+
+
+def _expected_scan_files(dir_pcd_abs: str, stem: str, n_scans: int):
+    """Scan files BlenSor will write for one mesh: it appends its own
+    5-digit frame counter before .numpy.gz (reference make_dataset.py:
+    306-308): X.numpy.gz -> X00000.numpy.gz."""
+    return [
+        os.path.join(dir_pcd_abs, f"{stem}_{str(i).zfill(5)}00000.numpy.gz")
+        for i in range(n_scans)
+    ]
 
 
 def run_blensor(blensor_bin, script_files, num_processes=4):
@@ -263,7 +279,17 @@ def sample_blensor(
         num_scans_per_mesh_min, num_scans_per_mesh_max,
         scanner_noise_sigma_min, scanner_noise_sigma_max,
     )
-    run_blensor(blensor_bin, scripts, num_processes)
+    # incremental re-runs skip meshes whose scans are up to date (the
+    # reference guards the BlenSor stage the same way, make_dataset.py:
+    # 339-341) — a headless-Blender run is minutes per mesh
+    stale = [
+        s for s, mesh_file, stem, n_scans in scripts
+        if file_utils.call_necessary(
+            [mesh_file, s], _expected_scan_files(dir_pcd_abs, stem, n_scans)
+        )
+    ]
+    if stale:
+        run_blensor(blensor_bin, stale, num_processes)
 
     call_params = []
     for f in sorted(os.listdir(dir_in_abs)):
@@ -275,15 +301,16 @@ def sample_blensor(
             mesh_file, num_scans_per_mesh_min, num_scans_per_mesh_max,
             scanner_noise_sigma_min, scanner_noise_sigma_max,
         )
-        # BlenSor appends its own 5-digit frame counter before .numpy.gz
-        # (reference make_dataset.py:306-308): X.numpy.gz -> X00000.numpy.gz
-        pcd_files = [
-            os.path.join(
-                dir_pcd_abs, f"{stem}_{str(i).zfill(5)}00000.numpy.gz"
-            )
-            for i in range(len(locations))
-        ]
-        pcd_files = [p for p in pcd_files if os.path.isfile(p)]
+        all_files = _expected_scan_files(
+            dir_pcd_abs, stem, len(locations)
+        )
+        # keep scan index <-> pose pairing when scans are missing (a
+        # dropped file must drop its pose too, or every later scan gets
+        # the previous scan's inverse transform)
+        present = [i for i, p in enumerate(all_files) if os.path.isfile(p)]
+        pcd_files = [all_files[i] for i in present]
+        scan_locations = [locations[i] for i in present]
+        scan_rotations = [rotations[i] for i in present]
         if not pcd_files:
             print(f"no BlenSor scans found for {stem}")
             continue
@@ -302,7 +329,7 @@ def sample_blensor(
         ):
             call_params.append((
                 pcd_files, mesh_file, out_raw, out_npy, out_vis,
-                list(locations), list(rotations), out_hits, min_pts_size,
+                scan_locations, scan_rotations, out_hits, min_pts_size,
             ))
     # merge runs in-process: the closest-point stage is a device program
     for p in call_params:

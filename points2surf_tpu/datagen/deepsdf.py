@@ -69,9 +69,15 @@ def make_sdf_samples(query_pts: np.ndarray, query_dist: np.ndarray):
 
 
 def convert_sdfs(base_dir, dataset_dir, out_dir, dataset_name=None,
-                 class_name="all"):
+                 class_name="all", file_set=None):
     """Export 05_query_{pts,dist} into SdfSamples npz files + split jsons +
-    specs.json."""
+    specs.json.
+
+    ``file_set`` restricts which shapes get GT SdfSamples written (the
+    reference exports GT samples for the TRAIN set only; the test set's
+    npz files are synthesized from scans by :func:`make_sdf_samples_dir`
+    into the same directory — reference dataset_for_deepsdf.py:383-398).
+    None = all shapes (standalone use)."""
     dataset_name = dataset_name or dataset_dir
     d_pts = os.path.join(base_dir, dataset_dir, "05_query_pts")
     d_dist = os.path.join(base_dir, dataset_dir, "05_query_dist")
@@ -83,11 +89,13 @@ def convert_sdfs(base_dir, dataset_dir, out_dir, dataset_name=None,
         if not f.endswith(".npy"):
             continue
         stem = f[:-8]
+        shapes.append(stem)
+        if file_set is not None and stem not in file_set:
+            continue
         pts = np.load(os.path.join(d_pts, f))
         dist = np.load(os.path.join(d_dist, f))
         pos, neg = make_sdf_samples(pts, dist)
         np.savez(os.path.join(d_out, stem + ".npz"), pos=pos, neg=neg)
-        shapes.append(stem)
 
     def write_split(path, names):
         file_utils.make_dir_for_file(path)
@@ -296,10 +304,21 @@ def export_for_deepsdf(
         os.listdir(repaired_dir) else mesh_dir
     )
 
+    # train/test must be DISJOINT over the shared SdfSamples dir: GT query
+    # samples for the train set, scan-synthesized samples for the test set
+    # (reference dataset_for_deepsdf.py:383-398). With no set files, treat
+    # everything as train (GT samples) and export no reconstruction inputs.
+    d_pts = os.path.join(ds, "05_query_pts")
+    all_stems = [
+        f[:-8] for f in sorted(os.listdir(d_pts)) if f.endswith(".npy")
+    ]
+    test = _read_set(base_dir, dataset_dir, "testset.txt") or []
+    train = _read_set(base_dir, dataset_dir, "trainset.txt") or all_stems
+    train = [s for s in train if s not in set(test)]
     shapes = convert_sdfs(
-        base_dir, dataset_dir, out_dir, dataset_name, class_name
+        base_dir, dataset_dir, out_dir, dataset_name, class_name,
+        file_set=set(train),
     )
-    test = _read_set(base_dir, dataset_dir, "testset.txt") or shapes
     convert_pcs(
         os.path.join(ds, "04_pts"),
         os.path.join(out_dir, "SurfaceSamples", dataset_name, class_name),

@@ -3,8 +3,9 @@
 Builds native/marching.cpp with g++ -O3 -fopenmp on first use (cached next
 to the source); the python fallback in ops/marching_cubes.py is used when
 no compiler is available. Outputs are interchangeable with the numpy
-implementation (same decomposition and case table); faces come back
-unoriented and are oriented by the shared gradient rule.
+implementation (same decomposition and case table); the C++ kernel also
+orients faces outward itself (per-face centroid gradient, the same rule
+as the numpy path) — callers need no separate orientation pass.
 """
 
 from __future__ import annotations

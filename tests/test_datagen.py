@@ -171,3 +171,56 @@ def test_blensor_merge_back_roundtrip(tmp_path, rng):
     assert cos.min() > 0.8
     hits = np.load(str(tmp_path / "shape_hits.npz"))["hits_per_scan"]
     assert (hits == 40).all()
+
+
+def test_blensor_missing_scan_keeps_pose_pairing(tmp_path, rng, monkeypatch):
+    """A missing scan file must drop ITS pose, not shift every later scan
+    onto the previous scan's pose (scan index <-> pose pairing)."""
+    from points2surf_tpu.datagen import blensor
+
+    mesh = _analytic_mesh("sphere")
+    dir_in = tmp_path / "ds" / "03_meshes"
+    os.makedirs(dir_in)
+    mesh_io.write_ply(str(dir_in / "shape.ply"), mesh.vertices, mesh.faces)
+
+    locations, rotations, _ = scanner.scan_poses(
+        str(dir_in / "shape.ply"), 4, 4, 0.0, 0.0
+    )
+    n_scans = len(locations)
+    assert n_scans == 4
+
+    # pretend Blender ran but scan 1 is missing
+    pcd_dir = tmp_path / "ds" / "04_pcd"
+    os.makedirs(pcd_dir)
+    import gzip
+
+    present = [0, 2, 3]
+    for i in present:
+        raw = np.zeros((3, 16), np.float32)
+        raw[:, 3] = 1.0
+        raw[:, 5:8] = raw[:, 8:11] = rng.rand(3, 3)
+        with gzip.GzipFile(
+            str(pcd_dir / f"shape_{i:05d}00000.numpy.gz"), "w"
+        ) as fh:
+            np.savetxt(fh, raw)
+
+    captured = {}
+
+    def fake_merge(pcd_files, mesh_file, raw, npy, vis, locs, rots, hits,
+                   min_pts_size):
+        captured["files"] = list(pcd_files)
+        captured["locs"] = [np.asarray(l) for l in locs]
+        captured["rots"] = [np.asarray(r) for r in rots]
+        return True
+
+    monkeypatch.setattr(blensor, "pcd_files_to_pts", fake_merge)
+    monkeypatch.setattr(blensor, "run_blensor", lambda *a, **k: [])
+    blensor.sample_blensor(
+        str(tmp_path), "ds", "blender", "03_meshes", "04_pts", "04_pts_vis",
+        4, 4, 0.0, 0.0, num_processes=1,
+    )
+    assert len(captured["files"]) == 3
+    for j, i in enumerate(present):
+        assert f"{i:05d}00000" in os.path.basename(captured["files"][j])
+        np.testing.assert_array_equal(captured["locs"][j], locations[i])
+        np.testing.assert_array_equal(captured["rots"][j], rotations[i])

@@ -137,23 +137,32 @@ def test_deepsdf_full_export(tmp_path, rng):
     (ds / "05_query_dist").mkdir()
     (ds / "03_meshes").mkdir()
     v, f = _sphere_mesh()
-    mesh_io.write_ply(str(ds / "03_meshes" / "s.ply"), v, f)
-    # scan cloud on the sphere surface with radial normals
-    dirs = rng.randn(50, 3)
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    pts = 0.5 * dirs
-    np.save(ds / "04_pts" / "s.xyz.npy",
-            np.concatenate([pts, dirs], axis=1).astype(np.float32))
-    q = rng.rand(30, 3).astype(np.float32) - 0.5
-    np.save(ds / "05_query_pts" / "s.ply.npy", q)
-    np.save(ds / "05_query_dist" / "s.ply.npy",
-            (0.5 - np.linalg.norm(q, axis=1)).astype(np.float32))
-    (ds / "trainset.txt").write_text("s\n")
+    # two shapes: 't' goes to the train split (GT SdfSamples), 's' to the
+    # test split (scan-synthesized SdfSamples) — the two kinds share the
+    # SdfSamples dir and must NOT collide (reference
+    # dataset_for_deepsdf.py:383-398 keeps the sets disjoint)
+    for stem in ("s", "t"):
+        mesh_io.write_ply(str(ds / "03_meshes" / f"{stem}.ply"), v, f)
+        dirs = rng.randn(50, 3)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        pts_stem = 0.5 * dirs
+        np.save(ds / "04_pts" / f"{stem}.xyz.npy",
+                np.concatenate([pts_stem, dirs], axis=1).astype(np.float32))
+        if stem == "s":
+            pts = pts_stem
+        q = rng.rand(30, 3).astype(np.float32) - 0.5
+        np.save(ds / "05_query_pts" / f"{stem}.ply.npy", q)
+        np.save(ds / "05_query_dist" / f"{stem}.ply.npy",
+                (0.5 - np.linalg.norm(q, axis=1)).astype(np.float32))
+    (ds / "trainset.txt").write_text("t\n")
     (ds / "testset.txt").write_text("s\n")
 
     out = tmp_path / "deepsdf"
     shapes = export_for_deepsdf(str(tmp_path), "mini", str(out))
-    assert shapes == ["s"]
+    assert shapes == ["s", "t"]
+    # train shape: GT query samples (pos/neg only, no far keys)
+    zt = np.load(out / "SdfSamples" / "mini" / "all" / "t.npz")
+    assert set(zt.files) == {"pos", "neg"}
     # SurfaceSamples PLY exists and parses back to the scan points
     ply = out / "SurfaceSamples" / "mini" / "all" / "s.ply"
     assert ply.is_file()
