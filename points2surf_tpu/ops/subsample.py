@@ -1,7 +1,12 @@
-"""On-device global point-cloud sub-sampling.
+"""On-device global point-cloud sub-sampling (standalone API).
 
 TPU-native replacement for the reference's per-patch numpy sub-sampling
-(``get_point_cloud_sub_sample``, source/base/utils.py:196-227). Three modes:
+(``get_point_cloud_sub_sample``, source/base/utils.py:196-227). The fused
+production pipeline uses the decimated variant inlined in
+``ops/patches._gumbel_subsample`` (same distribution, one fewer pass);
+this module is the exact streamed form — kept as the oracle-tested
+standalone op for external callers and as the reference implementation
+the decimated variant is validated against. Three modes:
 
 * ``dist_weighted`` (reference default): sample ``n`` points WITHOUT
   replacement with probability linearly decreasing with distance to the
