@@ -26,6 +26,16 @@ def parse_arguments(args=None):
     parser.add_argument('--testset', type=str, default='testset.txt')
     parser.add_argument('--save_interval', type=int, default=10)
     parser.add_argument('--debug_interval', type=int, default=1)
+    parser.add_argument('--train_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='EXPERIMENTAL activation dtype for the train '
+                             'step. bfloat16 is ~1.8x faster on TPU (the '
+                             'fwd/bwd is HBM-traffic-bound) but measured '
+                             'to degrade sign-head convergence (test f1 '
+                             '~0.6 vs ~0.95 at 50 epochs on proc120, '
+                             'docs/PERFORMANCE.md) — keep float32 for '
+                             'production. Params/batch stats/checkpoints '
+                             'are float32 either way.')
     parser.add_argument('--refine', type=str, default='',
                         help='refine model at this path')
     parser.add_argument('--gpu_idx', type=int, default=[0], nargs='+',

@@ -81,3 +81,29 @@ def test_output_spec_regression_variant():
         output_spec(["patch_pts_ids"])
     with pytest.raises(ValueError):
         output_spec(["bogus"])
+
+
+def test_train_dtype_bfloat16(tmp_path):
+    """--train_dtype bfloat16: activations bf16, but params, batch stats,
+    checkpoints, and reported losses stay float32."""
+    import jax
+    import jax.numpy as jnp
+
+    from points2surf_tpu.train.trainer import Trainer
+
+    opt = _opt(str(tmp_path), train_dtype="bfloat16")
+    tr = Trainer(opt)
+    assert tr.model.dtype == jnp.bfloat16
+    for leaf in jax.tree_util.tree_leaves(tr.params):
+        assert leaf.dtype == jnp.float32
+    tr.train()
+    for leaf in jax.tree_util.tree_leaves(tr.batch_stats):
+        assert leaf.dtype == jnp.float32
+    state = np.load(
+        os.path.join(str(tmp_path), "models", "t_model.npz")
+    )
+    assert all(state[k].dtype != np.dtype("bfloat16") for k in state.files
+               if state[k].dtype.kind == "f")
+    # default stays float32 (reference-parity conservative default)
+    tr32 = Trainer(_opt(str(tmp_path), name="t32"))
+    assert tr32.model.dtype is None
