@@ -235,7 +235,10 @@ def _gumbel_subsample(points, queries, n_valid, sub_n, key, cfg,
     via Gumbel-top-k over a uniformly decimated candidate set."""
     b = queries.shape[0]
     n = points.shape[0]
-    n_cand_target = max(8192, cfg.subsample_candidates * sub_n)
+    # floor of 2x oversampling keeps weighted selection meaningful for
+    # small sub_n; the default factor 8 with sub_n=1000 targets ~8k
+    # candidates (the depth validated quality-neutral in round 1)
+    n_cand_target = max(2 * sub_n, cfg.subsample_candidates * sub_n)
     decimate = (
         not cfg.exact
         and not small_cloud
