@@ -121,8 +121,14 @@ def bench_mesh(jax, jnp, np, model, params, batch_stats, cfg, pts_dev, n,
         assert v.size > 0, "marching produced no surface"
         return time.time() - t0
 
-    one_mesh()  # compile + warmup
-    return one_mesh()
+    # two throwaway passes: the first compiles, the second flushes any
+    # lazily-triggered recompiles/cache writes so the recorded number is
+    # unambiguously steady-state (round-2 driver runs recorded a cold
+    # 29.2 s vs 24.9 s warm); then report the best of two timed passes
+    # (tunnel fetch noise is ~±1 s/pass)
+    one_mesh()
+    one_mesh()
+    return min(one_mesh(), one_mesh())
 
 
 def bench_train(jax, jnp, np, model, params, batch_stats, cfg, pts_dev, n,

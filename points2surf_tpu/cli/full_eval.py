@@ -12,9 +12,22 @@ import time
 
 
 def full_eval(opt):
+    import jax
+
     from points2surf_tpu.evalx import metrics
     from points2surf_tpu.infer import meshing
     from points2surf_tpu.infer.evaluator import points_to_surf_eval
+
+    # multi-host: shapes round-robin across hosts (evaluator + meshing),
+    # barriers between stages, CSV reports on process 0 only
+    n_proc = jax.process_count()
+    proc = jax.process_index()
+
+    def barrier(name):
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
 
     indir_root = opt.indir
     outdir_root = os.path.join(
@@ -30,17 +43,20 @@ def full_eval(opt):
         if os.path.exists(os.path.join(opt.indir, "05_query_dist")):
             opt.reconstruction = False
             points_to_surf_eval(opt)
+            barrier("eval_done")
             res_dir_eval = os.path.join(opt.outdir, "eval")
-            metrics.eval_predictions(
-                os.path.join(res_dir_eval, "eval"),
-                os.path.join(opt.indir, "05_query_dist"),
-                os.path.join(res_dir_eval, "rme_comp_res.csv"),
-                unsigned=False,
-            )
+            if proc == 0:
+                metrics.eval_predictions(
+                    os.path.join(res_dir_eval, "eval"),
+                    os.path.join(opt.indir, "05_query_dist"),
+                    os.path.join(res_dir_eval, "rme_comp_res.csv"),
+                    unsigned=False,
+                )
 
         start = time.time()
         opt.reconstruction = True
         points_to_surf_eval(opt)
+        barrier("reconstruction_done")
         res_dir_rec = os.path.join(opt.outdir, "rec")
         print(f"Inference of SDF took: {time.time() - start}")
 
@@ -54,25 +70,37 @@ def full_eval(opt):
             opt.sigma,
             opt.certainty_threshold,
             opt.workers,
+            shard=(proc, n_proc) if n_proc > 1 else None,
         )
+        barrier("meshing_done")
         print(f"Meshing took: {time.time() - start}")
 
-        metrics.mesh_comparison(
-            new_meshes_dir_abs=os.path.join(res_dir_rec, "mesh"),
-            ref_meshes_dir_abs=os.path.join(opt.indir, "03_meshes"),
-            num_processes=opt.workers,
-            report_name=os.path.join(
-                res_dir_rec, "hausdorff_dist_pred_rec.csv"
-            ),
-            samples_per_model=10000,
-            dataset_file_abs=os.path.join(opt.indir, opt.dataset),
-        )
+        if proc == 0:
+            metrics.mesh_comparison(
+                new_meshes_dir_abs=os.path.join(res_dir_rec, "mesh"),
+                ref_meshes_dir_abs=os.path.join(opt.indir, "03_meshes"),
+                num_processes=opt.workers,
+                report_name=os.path.join(
+                    res_dir_rec, "hausdorff_dist_pred_rec.csv"
+                ),
+                samples_per_model=10000,
+                dataset_file_abs=os.path.join(opt.indir, opt.dataset),
+            )
 
 
 def main(args=None):
     from points2surf_tpu.utils.jaxcfg import enable_compilation_cache
 
     enable_compilation_cache()
+    from points2surf_tpu.parallel import distributed
+
+    if distributed.initialize():
+        import jax
+
+        print(
+            f"multi-host: process {jax.process_index()}/"
+            f"{jax.process_count()}, shapes round-robin across hosts"
+        )
     from points2surf_tpu.cli.eval_args import parse_arguments
 
     full_eval(parse_arguments(args))

@@ -47,6 +47,20 @@ def main(args=None):
     from points2surf_tpu.utils.jaxcfg import enable_compilation_cache
 
     enable_compilation_cache()
+    # multi-host (DCN) launch: wires the hosts into one SPMD program when
+    # coordinator env vars / a TPU pod are present, else a no-op
+    # (role of the reference's single-process DataParallel setup,
+    # points_to_surf_train.py:413-414; SURVEY §2.4)
+    from points2surf_tpu.parallel import distributed
+
+    if distributed.initialize():
+        import jax
+
+        print(
+            f"multi-host: process {jax.process_index()}/"
+            f"{jax.process_count()}, {jax.local_device_count()} local / "
+            f"{jax.device_count()} global devices"
+        )
     from points2surf_tpu.cli.train_args import parse_arguments
 
     opt = parse_arguments(args)

@@ -26,6 +26,12 @@ def parse_arguments(args=None):
     parser.add_argument('--testset', type=str, default='testset.txt')
     parser.add_argument('--save_interval', type=int, default=10)
     parser.add_argument('--debug_interval', type=int, default=1)
+    parser.add_argument('--log_every_batch', type=int, default=0,
+                        help='log TensorBoard scalars for EVERY train batch '
+                             '(the reference cadence, train.py:474-478) '
+                             'instead of every --debug_interval batches. '
+                             'Costs one deferred device fetch per step '
+                             '(~25-30 ms each through the axon tunnel).')
     parser.add_argument('--train_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
                         help='EXPERIMENTAL activation dtype for the train '

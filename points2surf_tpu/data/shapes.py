@@ -83,6 +83,11 @@ class ShapeStore:
             self.shape_names = [ln.strip() for ln in f if ln.strip()]
 
         self.with_query = with_query
+        # when set (multi-host runs), device_points uploads clouds as
+        # GLOBAL fully-replicated arrays over this mesh instead of plain
+        # committed single-device arrays (which a multi-process pjit
+        # rejects as inputs)
+        self.mesh = None
         self._host_cache: dict[int, Shape] = {}
         self._device_cache: dict[int, tuple[jax.Array, int]] = {}
         self._use_counter = 0
@@ -180,7 +185,12 @@ class ShapeStore:
         n = shape.n_points
         padded = np.zeros((bucket_size(n), 3), np.float32)
         padded[:n] = shape.pts
-        arr = jnp.asarray(padded)
+        if self.mesh is not None:
+            from points2surf_tpu.parallel import replicate_array
+
+            arr = replicate_array(padded, self.mesh)
+        else:
+            arr = jnp.asarray(padded)
         self._evict(self._device_cache)
         self._device_cache[index] = (arr, n)
         return arr, n

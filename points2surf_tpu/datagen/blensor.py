@@ -64,7 +64,8 @@ def write_blensor_scripts(
     scanner_noise_sigma_min, scanner_noise_sigma_max,
 ):
     """Render per-mesh scanning scripts; poses identical to the native
-    scanner (same filename-hash RNG). Returns the list of script paths."""
+    scanner (same filename-hash RNG). Returns a list of
+    ``(script_path, mesh_path, stem, n_scans)`` tuples."""
     dir_in_abs = os.path.join(base_dir, dataset_dir, dir_in)
     dir_pcd_abs = os.path.join(base_dir, dataset_dir, dir_out_pcd)
     dir_scripts_abs = os.path.join(base_dir, dataset_dir, dir_out_scripts)
@@ -96,10 +97,11 @@ def write_blensor_scripts(
         script_file = os.path.join(dir_scripts_abs, f[:-4] + ".py")
         # don't bump the script's mtime when nothing changed — it is a
         # call_necessary input for the Blender run below
-        if not (
-            os.path.isfile(script_file)
-            and open(script_file).read() == script
-        ):
+        unchanged = False
+        if os.path.isfile(script_file):
+            with open(script_file) as fh:
+                unchanged = fh.read() == script
+        if not unchanged:
             with open(script_file, "w") as fh:
                 fh.write(script)
         scripts.append((script_file, mesh_file, f[:-4], len(locations)))

@@ -69,7 +69,8 @@ def make_sdf_samples(query_pts: np.ndarray, query_dist: np.ndarray):
 
 
 def convert_sdfs(base_dir, dataset_dir, out_dir, dataset_name=None,
-                 class_name="all", file_set=None):
+                 class_name="all", file_set=None, train_set=None,
+                 test_set=None):
     """Export 05_query_{pts,dist} into SdfSamples npz files + split jsons +
     specs.json.
 
@@ -77,7 +78,14 @@ def convert_sdfs(base_dir, dataset_dir, out_dir, dataset_name=None,
     reference exports GT samples for the TRAIN set only; the test set's
     npz files are synthesized from scans by :func:`make_sdf_samples_dir`
     into the same directory — reference dataset_for_deepsdf.py:383-398).
-    None = all shapes (standalone use)."""
+    None = all shapes (standalone use).
+
+    ``train_set``/``test_set`` pin the split JSON contents; callers that
+    resolve the sets themselves (export_for_deepsdf) pass them so the
+    splits can never disagree with which npz files actually hold GT vs
+    scan-synthesized samples. When None, the sets are re-read from the
+    dataset's set files with the SAME fallbacks export_for_deepsdf uses
+    (no testset.txt -> empty test split, train = everything minus test)."""
     dataset_name = dataset_name or dataset_dir
     d_pts = os.path.join(base_dir, dataset_dir, "05_query_pts")
     d_dist = os.path.join(base_dir, dataset_dir, "05_query_dist")
@@ -109,8 +117,13 @@ def convert_sdfs(base_dir, dataset_dir, out_dir, dataset_name=None,
                 return [ln.strip() for ln in fh if ln.strip()]
         return []
 
-    train = [s for s in read_set("trainset.txt") if s in shapes] or shapes
-    test = [s for s in read_set("testset.txt") if s in shapes] or shapes
+    if test_set is None:
+        test_set = read_set("testset.txt")
+    if train_set is None:
+        train_set = read_set("trainset.txt") or shapes
+        train_set = [s for s in train_set if s not in set(test_set)]
+    train = [s for s in train_set if s in shapes]
+    test = [s for s in test_set if s in shapes]
     write_split(os.path.join(out_dir, "splits", dataset_name + "_train.json"),
                 train)
     write_split(os.path.join(out_dir, "splits", dataset_name + "_test.json"),
@@ -317,7 +330,7 @@ def export_for_deepsdf(
     train = [s for s in train if s not in set(test)]
     shapes = convert_sdfs(
         base_dir, dataset_dir, out_dir, dataset_name, class_name,
-        file_set=set(train),
+        file_set=set(train), train_set=train, test_set=test,
     )
     convert_pcs(
         os.path.join(ds, "04_pts"),

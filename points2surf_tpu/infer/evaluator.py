@@ -153,10 +153,13 @@ def points_to_surf_eval(eval_opt):
             exact=bool(getattr(eval_opt, "exact_patch_sampling", 0)),
         )
         # the reference augments any non-reconstruction pass
-        # (data_loader.py:381-393); queries shard over the device mesh
+        # (data_loader.py:381-393); queries shard over the device mesh.
+        # Multi-host runs split work per SHAPE across hosts (below), so
+        # the sweep itself shards over the LOCAL chips only — a global
+        # mesh would require all hosts to run identical programs.
         from points2surf_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh()
+        mesh = make_mesh(jax.local_devices())
         query_fn = make_sdf_query_fn(
             model, tuple(train_opt.outputs), patch_cfg, fixed_radius,
             augment=not eval_opt.reconstruction,
@@ -186,7 +189,16 @@ def points_to_surf_eval(eval_opt):
 
         saver = ThreadPoolExecutor(max_workers=1)
         save_futures = []
+        # multi-host eval parallelism is per-SHAPE: reconstruction shapes
+        # are independent, so each host takes a round-robin share and
+        # writes its own result files (SURVEY §2.4 sharded inference; the
+        # within-host sweep is already sharded over local chips via
+        # query_fn's mesh). full_eval barriers before the CSV reports.
+        n_proc = jax.process_count()
+        proc = jax.process_index()
         for shape_ind, name in enumerate(store.shape_names):
+            if n_proc > 1 and shape_ind % n_proc != proc:
+                continue
             shape = store.get(shape_ind)
             pts_dev, n_valid = store.device_points(shape_ind)
             small = n_valid < max(train_opt.sub_sample_size, 1)

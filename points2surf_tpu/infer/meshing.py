@@ -126,6 +126,7 @@ def implicit_surface_to_mesh_directory(
     imp_surf_dist_ms_dir, query_pts_ms_dir,
     vol_out_dir, mesh_out_dir,
     grid_res, sigma, certainty_threshold, num_processes=1,
+    shard=None,
 ):
     """Per-directory driver (reference sdf.py:241-266).
 
@@ -133,6 +134,9 @@ def implicit_surface_to_mesh_directory(
     accelerator — a pool would contend for it): the device builds shape
     i+1's volume while the host fetches shape i's and runs marching; the
     slow debug-volume OFF writes go to a writer thread.
+
+    ``shard=(index, count)`` meshes a round-robin share of the directory
+    (multi-host runs: each host meshes the shapes it reconstructed).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -145,6 +149,10 @@ def implicit_surface_to_mesh_directory(
         if os.path.isfile(os.path.join(imp_surf_dist_ms_dir, f))
         and f.endswith(".xyz.npy")
     ]
+    if shard is not None and shard[1] > 1:
+        dist_files = [
+            f for i, f in enumerate(dist_files) if i % shard[1] == shard[0]
+        ]
 
     def dispatch(f):
         """Load inputs + enqueue the device volume build (async)."""

@@ -33,6 +33,12 @@ def drain_batched_results(pending, n_total: int, group: int = 64):
     if not pending:
         return np.empty(0, np.float32)
     b = pending[0].shape[0]
+    if any(p.shape != pending[0].shape for p in pending):
+        raise ValueError(
+            "drain_batched_results requires equal-shape batches; pad the "
+            f"final batch to {pending[0].shape} before draining "
+            f"(got shapes {sorted({tuple(p.shape) for p in pending})})"
+        )
     res = np.empty(len(pending) * b, np.float32)
     off = 0
     for g in range(0, len(pending), group):

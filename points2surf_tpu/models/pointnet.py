@@ -17,6 +17,7 @@ that released ``.pth`` checkpoints map 1:1 onto our param pytree
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import flax.linen as nn
@@ -85,6 +86,272 @@ def _scale_pool(h, num_scales: int, sym_op: str = "max"):
     return h.reshape(b, num_scales * c)
 
 
+# ---------------------------------------------------------------- fused tail
+#
+# Every encoder/STN trunk ends in `linear -> batchnorm -> (relu) -> pool
+# over points`. Evaluated literally, the linear layer's (B, n, C_out)
+# output (C_out = net_size_max = 1024) is by far the largest activation in
+# the model — at batch 1000 the five trunk tails together hold ~16 GB of
+# f32 — and the train step is HBM-traffic-bound on exactly these tensors
+# (docs/PERFORMANCE.md round-2 decomposition). But BN's normalization is a
+# per-channel AFFINE map once its statistics are known, and both relu and
+# max-pool commute with monotone per-channel maps:
+#
+#   max_n relu(a_j * c[n,j] + b_j) = relu(a_j * (max_n c[n,j]) + b_j)  a>=0
+#                                  = relu(a_j * (min_n c[n,j]) + b_j)  a<0
+#   sum_n (a_j * c[n,j] + b_j)     = a_j * sum_n c[n,j] + n * b_j
+#
+# so the tail only ever needs per-(batch, channel) REDUCTIONS of the raw
+# linear output c (max, min, sum, and sum-of-squares for the train-mode BN
+# statistics) — all fusable into the matmul's epilogue — and the
+# normalization/activation runs on the pooled (B, C) result.
+#
+# The modules below own parameters in the EXACT tree layout of the
+# PLinear/BN pair they replace (convX/linear/{kernel,bias},
+# bnX/norm/{scale,bias} + batch_stats bnX/norm/{mean,var}) so checkpoints
+# and the torch importer are unaffected.
+
+import os as _os
+
+# module-level A/B switch (perf probes / equivalence tests):
+#   0 = literal layer stack (materializes the (B, n, C_out) tail)
+#   1 = fused reductions, autodiff backward (still scatters (B, n, C_out))
+#   2 = fused reductions + hand-derived VJP (no (B, n, C_out) tensor in
+#       either pass; the backward is gathers/scatters at the argmax rows
+#       plus small gram-matrix matmuls — see _linear_pool_reductions_bwd)
+_FUSED_TAIL = int(_os.environ.get("P2S_FUSED_TAIL", "2"))
+
+
+class _TailDense(nn.Module):
+    features: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        init = torch_linear_init(self.fan_in)
+        kernel = self.param("kernel", init, (self.fan_in, self.features))
+        bias = self.param("bias", init, (self.features,))
+        return kernel, bias
+
+
+class _TailDenseOwner(nn.Module):
+    """Parameter-compatible stand-in for ``PLinear(name=...)``."""
+
+    features: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        return _TailDense(self.features, self.fan_in, name="linear")()
+
+
+class _TailBN(nn.Module):
+    features: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        if batch_mean is not None and not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * batch_mean
+            ra_var.value = m * ra_var.value + (1 - m) * batch_var
+        return scale, bias, ra_mean.value, ra_var.value
+
+
+class _TailBNOwner(nn.Module):
+    """Parameter-compatible stand-in for ``BN(name=...)``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None):
+        return _TailBN(self.features, name="norm")(batch_mean, batch_var)
+
+
+def _lpr_compute(x, kernel, bias, dtype, need_minmax, need_stats,
+                 with_argminmax=False):
+    """Per-(batch, channel) reductions of ``c = x @ kernel + bias`` without
+    keeping c: returns (cmax, cmin, csum, mean, var[, amax, amin])."""
+    d = dtype or jnp.float32
+    c = (
+        jnp.einsum("bni,ij->bnj", x.astype(d), kernel.astype(d))
+        + bias.astype(d)[None, None, :]
+    )
+    cmax = cmin = csum = mean = var = amax = amin = None
+    if need_minmax:
+        cmax = jnp.max(c, axis=1)
+        cmin = jnp.min(c, axis=1)
+        if with_argminmax:
+            amax = jnp.argmax(c, axis=1).astype(jnp.int32)
+            amin = jnp.argmin(c, axis=1).astype(jnp.int32)
+    else:
+        csum = jnp.sum(c.astype(jnp.float32), axis=1)
+    if need_stats:
+        n_tot = c.shape[0] * c.shape[1]
+        c32 = c.astype(jnp.float32)
+        mean = jnp.sum(c32, axis=(0, 1)) / n_tot
+        var = jnp.sum(jnp.square(c32), axis=(0, 1)) / n_tot - jnp.square(
+            mean
+        )
+    if with_argminmax:
+        return cmax, cmin, csum, mean, var, amax, amin
+    return cmax, cmin, csum, mean, var
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _linear_pool_reductions(x, kernel, bias, dtype, need_minmax, need_stats):
+    return _lpr_compute(x, kernel, bias, dtype, need_minmax, need_stats)
+
+
+def _lpr_fwd(x, kernel, bias, dtype, need_minmax, need_stats):
+    cmax, cmin, csum, mean, var, amax, amin = _lpr_compute(
+        x, kernel, bias, dtype, need_minmax, need_stats, with_argminmax=True
+    )
+    return (cmax, cmin, csum, mean, var), (x, kernel, bias, amax, amin, mean)
+
+
+def _lpr_bwd(dtype, need_minmax, need_stats, res, cot):
+    """Hand-derived VJP that never materializes the (B, n, C_out) tensor.
+
+    With c = x @ W + b and outputs (max_n c, min_n c | sum_n c, mean(c),
+    var(c)), the cotangent into c decomposes as
+
+      dL/dc[b,n,j] = gmax[b,j]*1[n=amax] + gmin[b,j]*1[n=amin]   (max pool)
+                     (or gsum[b,j] broadcast over n)             (sum pool)
+                   + alpha_j + kappa_j * c[b,n,j]                (BN stats)
+
+    with alpha = (gmean - 2*mean*gvar)/N and kappa = 2*gvar/N. Pushing
+    that through the linear map analytically:
+
+      grad_x = scatter(amax/amin rows of gm * W^T)
+             + x @ (W diag(kappa) W^T) + const_vec
+      grad_W = gathered-x einsums + xsum (x) alpha
+             + kappa * (Gram(x) @ W + xsum (x) b)
+      grad_b = col-sums + N*alpha + kappa*N*mean
+
+    i.e. two (B, C, I) gather/scatter passes and a pair of (I, I) gram
+    matmuls — O(B*C*I + B*n*I) traffic instead of O(B*n*C)."""
+    x, kernel, bias, amax, amin, mean = res
+    gmax, gmin, gsum, gmean, gvar = cot
+
+    b_sz, n_pts, dim_in = x.shape
+    n_tot = b_sz * n_pts
+    x32 = x.astype(jnp.float32)
+    k32 = kernel.astype(jnp.float32)
+    b32 = bias.astype(jnp.float32)
+    c_out = kernel.shape[1]
+    f32 = jnp.float32
+
+    def _z(g, shape):
+        return jnp.zeros(shape, f32) if g is None else g.astype(f32)
+
+    if need_stats:
+        gmean = _z(gmean, (c_out,))
+        gvar = _z(gvar, (c_out,))
+        alpha = (gmean - 2.0 * mean * gvar) / n_tot
+        kappa = 2.0 * gvar / n_tot
+    else:
+        alpha = jnp.zeros((c_out,), f32)
+        kappa = jnp.zeros((c_out,), f32)
+
+    xsum = jnp.sum(x32, axis=(0, 1))  # (I,)
+
+    # ---- grad_x ----
+    # dense rank-structure terms: alpha/kappa from the BN statistics
+    k_kappa = k32 * kappa[None, :]  # (I, C)
+    gram_k = k_kappa @ k32.T  # (I, I)
+    vec = alpha @ k32.T + (b32 * kappa) @ k32.T  # (I,)
+    grad_x = jnp.einsum("bni,ik->bnk", x32, gram_k) + vec[None, None, :]
+
+    # ---- grad_W / grad_b shared pieces ----
+    gram_x = jnp.einsum("bni,bnk->ik", x32, x32)  # (I, I)
+    grad_w = (
+        xsum[:, None] * alpha[None, :]
+        + (gram_x @ k32 + xsum[:, None] * b32[None, :]) * kappa[None, :]
+    )
+    grad_b = n_tot * alpha + kappa * (n_tot * mean if need_stats else 0.0)
+
+    if need_minmax:
+        gmax = _z(gmax, (b_sz, c_out))
+        gmin = _z(gmin, (b_sz, c_out))
+        # implicit one-hot: (iota == arg) * g is an elementwise producer
+        # XLA fuses into the dot operands — no HBM materialization and,
+        # critically, NO scatter/gather (TPU scatter lowering serializes;
+        # an .at[].add formulation measured 3x SLOWER than baseline)
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n_pts, 1), 1)
+        a_mask = (
+            jnp.where(iota_n == amax[:, None, :], gmax[:, None, :], 0.0)
+            + jnp.where(iota_n == amin[:, None, :], gmin[:, None, :], 0.0)
+        )
+        grad_x = grad_x + jnp.einsum("bnj,ij->bni", a_mask, k32)
+        grad_w = grad_w + jnp.einsum("bni,bnj->ij", x32, a_mask)
+        grad_b = grad_b + jnp.sum(gmax, axis=0) + jnp.sum(gmin, axis=0)
+    else:
+        gsum = _z(gsum, (b_sz, c_out))
+        grad_x = grad_x + jnp.einsum("bj,ij->bi", gsum, k32)[:, None, :]
+        grad_w = grad_w + jnp.einsum("bi,bj->ij", jnp.sum(x32, axis=1), gsum)
+        grad_b = grad_b + n_pts * jnp.sum(gsum, axis=0)
+
+    return (
+        grad_x.astype(x.dtype),
+        grad_w.astype(kernel.dtype),
+        grad_b.astype(bias.dtype),
+    )
+
+
+_linear_pool_reductions.defvjp(_lpr_fwd, _lpr_bwd)
+
+
+def _pooled_tail(x, act_relu, sym_op, dtype, train, conv_mod, bn_mod):
+    """Apply the fused linear->BN->(relu)->pool tail (single-scale only).
+
+    ``conv_mod``/``bn_mod`` are the parameter owners instantiated by the
+    CALLER (so the variables live at the caller's scope level)."""
+    kernel, bias = conv_mod()
+    need_minmax = sym_op == "max"
+    reduce_fn = _linear_pool_reductions if _FUSED_TAIL >= 2 else _lpr_compute
+    cmax, cmin, csum, bmean, bvar = reduce_fn(
+        x, kernel, bias, dtype, need_minmax, train
+    )
+    if train:
+        scale, bn_bias, _, _ = bn_mod(bmean, bvar)
+        mean, var = bmean, bvar
+    else:
+        scale, bn_bias, mean, var = bn_mod()
+    inv = scale.astype(jnp.float32) * jax.lax.rsqrt(var + 1e-5)
+    shift = bn_bias.astype(jnp.float32) - mean * inv
+    if need_minmax:
+        pooled = (
+            jnp.where(
+                inv[None, :] >= 0,
+                cmax.astype(jnp.float32),
+                cmin.astype(jnp.float32),
+            )
+            * inv[None, :]
+            + shift[None, :]
+        )
+    else:
+        n_pts = x.shape[1]
+        pooled = csum * inv[None, :] + n_pts * shift[None, :]
+    if act_relu:
+        pooled = nn.relu(pooled)
+    return pooled.astype(dtype or jnp.float32)
+
+
 class _STNTrunk(nn.Module):
     """Shared conv trunk + FC head of STN/QSTN (model.py:41-64, 100-122)."""
 
@@ -98,15 +365,25 @@ class _STNTrunk(nn.Module):
         d = self.dtype
         h = nn.relu(BN(d, name="bn1")(PLinear(64, d, name="conv1")(x), train))
         h = nn.relu(BN(d, name="bn2")(PLinear(128, d, name="conv2")(h), train))
-        h = nn.relu(
-            BN(d, name="bn3")(
-                PLinear(self.net_size_max, d, name="conv3")(h), train
-            )
-        )
         # symmetric max over points; per scale segment when multi-scale
         # (the reference STN pools with max regardless of sym_op,
-        # model.py:25,48-55)
-        h = _scale_pool(h, self.num_scales)
+        # model.py:25,48-55). Single-scale uses the fused tail (affine
+        # BN + relu commute with the max — see module docs above).
+        if _FUSED_TAIL and self.num_scales == 1:
+            h = _pooled_tail(
+                h, act_relu=True, sym_op="max", dtype=d, train=train,
+                conv_mod=_TailDenseOwner(
+                    self.net_size_max, h.shape[-1], name="conv3"
+                ),
+                bn_mod=_TailBNOwner(self.net_size_max, name="bn3"),
+            )
+        else:
+            h = nn.relu(
+                BN(d, name="bn3")(
+                    PLinear(self.net_size_max, d, name="conv3")(h), train
+                )
+            )
+            h = _scale_pool(h, self.num_scales)
         if self.num_scales > 1:
             h = nn.relu(
                 BN(d, name="bn0")(
@@ -207,20 +484,31 @@ class PointNetFeat(nn.Module):
 
         h = nn.relu(BN(d, name="bn1")(PLinear(64, d, name="conv1")(h), train))
         h = nn.relu(BN(d, name="bn2")(PLinear(128, d, name="conv2")(h), train))
-        h = BN(d, name="bn3")(
-            PLinear(self.output_size, d, name="conv3")(h), train
-        )
-
-        if self.num_scales > 1:
-            # (output_size -> output_size*num_scales) expansion, then pool
-            # each scale segment (reference model.py:207-230)
-            h = BN(d, name="bn4")(
-                PLinear(self.output_size * self.num_scales, d,
-                        name="conv4")(nn.relu(h)), train
-            )
 
         if self.sym_op not in ("max", "sum"):
             raise ValueError(f"Unsupported symmetric operation: {self.sym_op}")
-        h = _scale_pool(h, self.num_scales, self.sym_op)
+
+        if _FUSED_TAIL and self.num_scales == 1:
+            # fused conv3 -> bn3 -> sym pool (no relu before the pool in
+            # the single-scale reference path, model.py:209-230)
+            h = _pooled_tail(
+                h, act_relu=False, sym_op=self.sym_op, dtype=d, train=train,
+                conv_mod=_TailDenseOwner(
+                    self.output_size, h.shape[-1], name="conv3"
+                ),
+                bn_mod=_TailBNOwner(self.output_size, name="bn3"),
+            )
+        else:
+            h = BN(d, name="bn3")(
+                PLinear(self.output_size, d, name="conv3")(h), train
+            )
+            if self.num_scales > 1:
+                # (output_size -> output_size*num_scales) expansion, then
+                # pool each scale segment (reference model.py:207-230)
+                h = BN(d, name="bn4")(
+                    PLinear(self.output_size * self.num_scales, d,
+                            name="conv4")(nn.relu(h)), train
+                )
+            h = _scale_pool(h, self.num_scales, self.sym_op)
 
         return h, trans, trans_quat, trans2

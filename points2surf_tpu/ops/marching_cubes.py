@@ -210,11 +210,29 @@ def _orient_faces(
     return faces
 
 
+_warned_fallback = False
+
+
 def extract_isosurface(vol: np.ndarray, level: float = 0.0):
-    """Isosurface extraction: native C++ kernel if built, numpy fallback."""
+    """Isosurface extraction: native C++ kernel if built, numpy fallback.
+
+    The fallback is ~8x slower at 256^3; warn once (stderr) so a failed
+    native build does not silently distort meshing throughput.
+    """
     try:
         from points2surf_tpu.ops import marching_native
 
         return marching_native.marching_tetrahedra(vol, level)
-    except Exception:
+    except Exception as e:
+        global _warned_fallback
+        if not _warned_fallback:
+            _warned_fallback = True
+            import sys
+
+            print(
+                "points2surf_tpu: native marching kernel unavailable "
+                f"({type(e).__name__}: {e}); using the ~8x slower numpy "
+                "fallback",
+                file=sys.stderr,
+            )
         return marching_tetrahedra(vol, level)

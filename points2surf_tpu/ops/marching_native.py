@@ -37,11 +37,22 @@ def _build_and_load():
             not os.path.isfile(so_path)
             or os.path.getmtime(so_path) < os.path.getmtime(src)
         ):
-            cmd = [
-                "g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                "-fPIC", "-std=c++17", src, "-o", so_path,
-            ]
-            subprocess.run(cmd, check=True, capture_output=True)
+            base = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC",
+                    "-std=c++17", src, "-o", so_path]
+            # portable flag ladder: x86-64-v3 (AVX2-era, runs on any
+            # 2015+ x86) -> plain -O3; -march=native would SIGILL when the
+            # .so is built on newer hardware than it runs on
+            last_err = None
+            for extra in (["-march=x86-64-v3"], []):
+                try:
+                    subprocess.run(base[:2] + extra + base[2:], check=True,
+                                   capture_output=True)
+                    last_err = None
+                    break
+                except subprocess.CalledProcessError as e:
+                    last_err = e
+            if last_err is not None:
+                raise last_err
         lib = ctypes.CDLL(so_path)
         lib.mt_extract.restype = ctypes.c_int
         lib.mt_extract.argtypes = [

@@ -89,15 +89,26 @@ def _morton_codes(q: jax.Array) -> jax.Array:
 
 
 def _ball_tile_candidates(cfg, n):
-    """Candidate-set size for ball-mode tiles: the certificate needs the
-    candidates to cover every in-ball point of every tile query, and
-    in-ball counts grow ~r^2 — larger radii need a deeper candidate set.
-    Measured sweet spots on a 60k cloud (docs/PERFORMANCE.md): 8192 below
-    r ~ 0.08 (32k q/s), 16384 above (28.9k q/s at r = 0.1 and 0.2, vs
-    19.3k / 13.6k with 8192 where most tiles failed to certify)."""
-    m = cfg.tile_candidates
-    if cfg.patch_radius >= 0.08:
-        m = max(m, 2 * 8192)
+    """Candidate-set size for ball-mode tiles, derived from expected
+    in-ball density: the certificate needs the candidates to cover every
+    point within ``max|q - c| + r`` of the tile centroid, and for
+    surface-sampled clouds that count grows ~ n * r^2 (a 2-manifold in a
+    ~unit-extent volume) until the ball covers a large fraction of the
+    object, where it saturates.
+
+    Model: depth = n * min(cap, factor * r^2), floored at
+    ``cfg.tile_candidates`` and rounded up to 1024. The constants are
+    calibrated on the round-2 measurements for a 60k cloud
+    (docs/PERFORMANCE.md): r=0.05 -> 8192 certified at 32k q/s;
+    r=0.1/0.2 -> 16384 certified at ~29k q/s (8192 left most tiles
+    uncertified there). Unlike the previous hard-coded r>=0.08 step,
+    this scales with cloud size, so much denser clouds (150k+) keep
+    certifying instead of silently dropping to the whole-batch exact
+    fallback (a perf cliff, not a correctness issue)."""
+    factor = 27.3  # 16384/60000 needed at r=0.1 -> 0.273 = factor * 0.1^2
+    cap = 0.28  # saturation: ~17k/60k sufficed at r=0.2
+    frac = min(cap, factor * cfg.patch_radius**2)
+    m = max(cfg.tile_candidates, int(-(-(n * frac) // 1024)) * 1024)
     return min(m, n)
 
 

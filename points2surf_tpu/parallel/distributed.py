@@ -45,14 +45,32 @@ def initialize(
     return True
 
 
-def shard_host_batch(global_indices: np.ndarray) -> np.ndarray:
+def shard_host_batch(global_indices: np.ndarray,
+                     multiple_of: int = 1) -> np.ndarray:
     """Slice a global batch-index array down to this host's share.
 
     Each host loads only the patches its addressable devices will consume;
-    device_put with a global sharding then assembles the global array
-    without cross-host data movement.
+    ``mesh.shard_batch(..., from_host_shard=True)`` then assembles the
+    global array without cross-host data movement.
+
+    ``multiple_of``: round the per-host share down to this multiple so the
+    global row count stays divisible by the mesh's data axis on ragged
+    final batches (callers pass data_axis // process_count).
     """
     n = jax.process_count()
     i = jax.process_index()
     per = len(global_indices) // n
+    per -= per % max(multiple_of, 1)
     return global_indices[i * per : (i + 1) * per]
+
+
+def shard_host_tree(batch: dict, multiple_of: int = 1) -> dict:
+    """Per-host slice of every leading-axis array in a batch dict."""
+    return jax.tree_util.tree_map(
+        lambda x: shard_host_batch(x, multiple_of), batch
+    )
+
+
+def is_main_process() -> bool:
+    """True on the process that should write checkpoints/logs/reports."""
+    return jax.process_index() == 0

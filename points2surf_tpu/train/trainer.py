@@ -37,6 +37,11 @@ from points2surf_tpu.models import losses as L
 from points2surf_tpu.models.p2s import PointsToSurfModel
 from points2surf_tpu.ops.patches import PatchConfig
 from points2surf_tpu.parallel import make_mesh, replicate, shard_batch
+from points2surf_tpu.parallel.distributed import (
+    is_main_process,
+    shard_host_batch,
+    shard_host_tree,
+)
 from points2surf_tpu.train import checkpoint as ckpt
 
 GREEN = "\033[92m"
@@ -108,7 +113,17 @@ class Trainer:
         self.model = build_model(opt, self.pred_dim)
         self.fixed_radius = opt.patch_radius > 0.0
         self.mesh = make_mesh()
-        self.log_writer = log_writer
+        # multi-host (DCN): every host runs the SAME deterministic sampler/
+        # pipeline plan (seeded RNGs) but loads + uploads only its slice of
+        # each global batch; jax assembles global arrays from the per-host
+        # shards (parallel/mesh.shard_batch). Writers (TensorBoard,
+        # checkpoints) stay on process 0.
+        self.multi_host = jax.process_count() > 1
+        self.host_multiple = (
+            self.mesh.shape["data"] // jax.process_count()
+            if self.multi_host else 1
+        )
+        self.log_writer = log_writer if is_main_process() else None
 
         self.patch_cfg = PatchConfig(
             points_per_patch=opt.points_per_patch,
@@ -130,6 +145,12 @@ class Trainer:
             with_query=True,
             cache_capacity=opt.cache_capacity,
         )
+        if self.multi_host:
+            # cloud uploads must be GLOBAL (replicated) arrays — a plain
+            # committed single-device array is not a legal pjit input when
+            # the mesh spans processes
+            self.train_store.mesh = self.mesh
+            self.test_store.mesh = self.mesh
         # the reference applies rotation augmentation to train AND its
         # interleaved test batches (any non-reconstruction __getitem__,
         # data_loader.py:381-393)
@@ -320,7 +341,7 @@ class Trainer:
                         0.0 if math.isnan(v) else v,
                         current_step,
                     )
-        if batchind % opt.debug_interval == 0:
+        if batchind % opt.debug_interval == 0 and is_main_process():
             rmse = float(metrics.get("abs_dist_rms", float("nan")))
             f1 = float(metrics.get("f1_score", float("nan")))
             print(
@@ -332,15 +353,16 @@ class Trainer:
 
     def train(self):
         opt = self.opt
-        os.makedirs(opt.outdir, exist_ok=True)
         model_filename = os.path.join(opt.outdir, f"{opt.name}_model.npz")
-        ckpt.save_params_namespace(
-            os.path.join(opt.outdir, f"{opt.name}_params.json"), opt
-        )
-        with open(
-            os.path.join(opt.outdir, f"{opt.name}_description.txt"), "w"
-        ) as f:
-            print(opt.desc, file=f)
+        if is_main_process():
+            os.makedirs(opt.outdir, exist_ok=True)
+            ckpt.save_params_namespace(
+                os.path.join(opt.outdir, f"{opt.name}_params.json"), opt
+            )
+            with open(
+                os.path.join(opt.outdir, f"{opt.name}_description.txt"), "w"
+            ) as f:
+                print(opt.desc, file=f)
 
         train_num_batch = self.steps_per_epoch
         test_num_batch = max(
@@ -396,9 +418,19 @@ class Trainer:
                     _, si, local_inds, gt = item
                     pts_dev, n_valid = self.train_store.device_points(si)
                     shape = self.train_store.get(si)
+                    if self.multi_host:
+                        # identical plan on every host; each host gathers
+                        # and uploads only its slice of the global batch
+                        local_inds = shard_host_batch(
+                            local_inds, self.host_multiple
+                        )
+                        gt = shard_host_batch(gt, self.host_multiple)
+                        if len(local_inds) == 0:
+                            continue  # ragged tail smaller than the mesh
                     q = shape.query_pts[local_inds]
                     fused_in = shard_batch(
-                        {"q": q, "gt": gt}, self.mesh
+                        {"q": q, "gt": gt}, self.mesh,
+                        from_host_shard=self.multi_host,
                     )
                     key = self.train_pipe.next_key()
                     (
@@ -414,7 +446,13 @@ class Trainer:
                         < max(self.patch_cfg.sub_sample_size, 1),
                     )
                 else:
-                    batch = shard_batch(item[1], self.mesh)
+                    b = (
+                        shard_host_tree(item[1], self.host_multiple)
+                        if self.multi_host else item[1]
+                    )
+                    batch = shard_batch(
+                        b, self.mesh, from_host_shard=self.multi_host
+                    )
                     (
                         self.params,
                         self.batch_stats,
@@ -437,8 +475,13 @@ class Trainer:
                     self.train_store.device_points(next_item[1])
                 self.global_step += 1
                 fraction_done = (batchind + 1) / train_num_batch
+                # --log_every_batch restores the reference's TensorBoard
+                # cadence (one scalar point per train batch,
+                # points_to_surf_train.py:474-478) at the cost of a device
+                # fetch per step; default logs at --debug_interval cadence
                 if (
-                    batchind % opt.debug_interval == 0
+                    getattr(opt, "log_every_batch", 0)
+                    or batchind % opt.debug_interval == 0
                     or batchind == train_num_batch - 1
                 ):
                     pending_logs.append((
@@ -456,7 +499,11 @@ class Trainer:
                     if tb is None:
                         break
                     test_batchind += 1
-                    tb = shard_batch(tb, self.mesh)
+                    if self.multi_host:
+                        tb = shard_host_tree(tb, self.host_multiple)
+                    tb = shard_batch(
+                        tb, self.mesh, from_host_shard=self.multi_host
+                    )
                     loss_t, metrics_t = self._eval_step(
                         self.params, self.batch_stats, tb
                     )
@@ -468,15 +515,18 @@ class Trainer:
                     flush_logs(limit=log_lag)
 
             flush_logs()  # drain deferred scalars before checkpointing
-            if epoch % opt.save_interval == 0 or epoch == opt.nepoch - 1:
-                ckpt.save_state(model_filename, self.state_dict())
-            if ckpt.is_snapshot_epoch(epoch, opt.nepoch):
-                ckpt.save_state(
-                    os.path.join(
-                        opt.outdir, f"{opt.name}_model_{epoch}.npz"
-                    ),
-                    self.state_dict(),
-                )
+            # process 0 writes checkpoints; params are replicated, so its
+            # local shards carry the full state
+            if is_main_process():
+                if epoch % opt.save_interval == 0 or epoch == opt.nepoch - 1:
+                    ckpt.save_state(model_filename, self.state_dict())
+                if ckpt.is_snapshot_epoch(epoch, opt.nepoch):
+                    ckpt.save_state(
+                        os.path.join(
+                            opt.outdir, f"{opt.name}_model_{epoch}.npz"
+                        ),
+                        self.state_dict(),
+                    )
 
             lr_now = float(self.lr_schedule(self.global_step))
             if self.log_writer is not None:

@@ -181,3 +181,41 @@ def test_deepsdf_full_export(tmp_path, rng):
     r = np.linalg.norm(far[:, :3], axis=1)
     want = r - 0.5  # negative inside radius 0.5
     np.testing.assert_allclose(far[:, 3], want, atol=0.02)
+    # split JSONs must agree with what was exported: train split = shapes
+    # with GT samples, test split = shapes with scan-synthesized samples +
+    # SurfaceSamples (NOT all shapes)
+    import json
+
+    with open(out / "splits" / "mini_train.json") as fh:
+        assert json.load(fh) == {"mini": {"all": ["t"]}}
+    with open(out / "splits" / "mini_test.json") as fh:
+        assert json.load(fh) == {"mini": {"all": ["s"]}}
+
+
+def test_deepsdf_export_no_testset_consistent_splits(tmp_path, rng):
+    """Without set files, everything is train (GT samples) and the test
+    split must be EMPTY — not 'all shapes' (those would have no
+    SurfaceSamples/scan inputs to reconstruct from)."""
+    import json
+
+    from points2surf_tpu.datagen.deepsdf import export_for_deepsdf
+
+    ds = tmp_path / "mini"
+    (ds / "04_pts").mkdir(parents=True)
+    (ds / "05_query_pts").mkdir()
+    (ds / "05_query_dist").mkdir()
+    (ds / "03_meshes").mkdir()
+    q = rng.rand(30, 3).astype(np.float32) - 0.5
+    np.save(ds / "05_query_pts" / "a.ply.npy", q)
+    np.save(ds / "05_query_dist" / "a.ply.npy",
+            rng.randn(30).astype(np.float32) * 0.1)
+
+    out = tmp_path / "deepsdf"
+    export_for_deepsdf(str(tmp_path), "mini", str(out))
+    with open(out / "splits" / "mini_train.json") as fh:
+        assert json.load(fh) == {"mini": {"all": ["a"]}}
+    with open(out / "splits" / "mini_test.json") as fh:
+        assert json.load(fh) == {"mini": {"all": []}}
+    # the GT npz was not overwritten by scan synthesis (no far keys)
+    z = np.load(out / "SdfSamples" / "mini" / "all" / "a.npz")
+    assert set(z.files) == {"pos", "neg"}

@@ -156,3 +156,81 @@ def test_calc_metrics(rng):
     for k in ("abs_dist_rms", "accuracy", "precision", "recall", "f1_score"):
         assert k in m
     assert 0.0 <= float(m["accuracy"]) <= 1.0
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_fused_tail_equivalence(rng, monkeypatch, level):
+    """The fused linear->BN->(relu)->pool tail must be parameter-compatible
+    and numerically equivalent to the literal layer stack: identical
+    variable tree and init, bit-near eval forward, and matching train-mode
+    forward/grads/batch-stats on an isolated trunk (full-model train
+    comparisons amplify reassociation noise through the stacked STNs).
+    Level 1 = fused reductions w/ autodiff backward; level 2 adds the
+    hand-derived VJP."""
+    import flax
+    import points2surf_tpu.models.pointnet as pn
+
+    x = jnp.asarray(rng.randn(8, 40, 64).astype(np.float32))
+
+    def run(fused, sym_op="max"):
+        fused = level if fused else 0
+        monkeypatch.setattr(pn, "_FUSED_TAIL", fused)
+        m = pn._STNTrunk(net_size_max=128, out_features=9)
+        v = m.init(jax.random.key(0), x, True)
+
+        def f(params):
+            out, mut = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out**2), (out, mut)
+
+        (_, (out, mut)), g = jax.value_and_grad(f, has_aux=True)(v["params"])
+        ev = m.apply(v, x, False)
+        return v, out, mut, g, ev
+
+    v1, o1, m1, g1, e1 = run(False)
+    v2, o2, m2, g2, e2 = run(True)
+
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(v1), jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(m1), jax.tree_util.tree_leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    f1 = flax.traverse_util.flatten_dict(g1)
+    f2 = flax.traverse_util.flatten_dict(g2)
+    for k in f1:
+        np.testing.assert_allclose(
+            np.asarray(f1[k]), np.asarray(f2[k]), atol=2e-4,
+            err_msg="/".join(k),
+        )
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_fused_tail_sum_pool_equivalence(rng, monkeypatch, level):
+    """Same check for the sym_op='sum' encoder tail (affine commutes with
+    the sum; n * shift term)."""
+    import points2surf_tpu.models.pointnet as pn
+
+    x = jnp.asarray(rng.randn(4, 24, 3).astype(np.float32))
+
+    def run(fused):
+        fused = level if fused else 0
+        monkeypatch.setattr(pn, "_FUSED_TAIL", fused)
+        m = PointNetFeat(net_size_max=64, output_size=64,
+                         use_point_stn=False, use_feat_stn=False,
+                         sym_op="sum")
+        v = m.init(jax.random.key(1), x, True)
+        tr, mut = m.apply(v, x, True, mutable=["batch_stats"])
+        ev = m.apply(v, x, False)
+        return v, tr[0], mut, ev[0]
+
+    v1, t1, m1, e1 = run(False)
+    v2, t2, m2, e2 = run(True)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(m1), jax.tree_util.tree_leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -198,6 +198,90 @@ def test_ball_tiles_randomize_overfull_patches(rng):
     assert overlap < 0.9  # dense blob: balls hold thousands of points
 
 
+def test_ball_candidate_depth_scales_with_cloud_density(rng):
+    """_ball_tile_candidates derives depth from n * r^2 density instead of
+    a hard-coded 60k-cloud threshold: a 150k-point cloud at r=0.1 must
+    still produce exact in-ball subsets through the tile path (previously
+    the fixed 16384 depth left dense-cloud tiles uncertified -> silent
+    whole-batch fallback)."""
+    from scipy import spatial as sp
+
+    from points2surf_tpu.ops.patches import _ball_tile_candidates
+    from points2surf_tpu.ops.voxel import grid_query_points
+
+    # depth grows with cloud size at fixed radius
+    cfg_r1 = PatchConfig(patch_radius=0.1)
+    assert _ball_tile_candidates(cfg_r1, 163840) >= 2 * _ball_tile_candidates(
+        cfg_r1, 65536
+    )
+    # small radii keep the configured floor
+    assert (
+        _ball_tile_candidates(PatchConfig(patch_radius=0.02), 65536)
+        == PatchConfig().tile_candidates
+    )
+    # never exceeds the cloud
+    assert _ball_tile_candidates(cfg_r1, 4096) == 4096
+
+    # dense 150k surface cloud — a thin plate (disc), whose in-ball
+    # counts far exceed the old fixed 16384 depth: tiles must certify
+    n_real = 150_000
+    rr = 0.35 * np.sqrt(rng.rand(n_real))
+    th = rng.rand(n_real) * 2 * np.pi
+    pts = np.stack(
+        [rr * np.cos(th), rr * np.sin(th),
+         0.002 * rng.randn(n_real)], axis=1
+    ).astype(np.float32)
+    n_pad = 163840
+    pad = np.zeros((n_pad, 3), np.float32)
+    pad[:n_real] = pts
+    # a spatially tight query cluster (one reconstruction work block):
+    # the 256 near-surface grid queries closest to a seed surface point
+    grid_q = np.asarray(grid_query_points(pts, 128, 3))
+    seed = pts[0]
+    q = grid_q[np.argsort(np.linalg.norm(grid_q - seed, axis=1))[:256]]
+
+    tree = sp.cKDTree(pts)
+    radius = 0.1
+    cfg = PatchConfig(points_per_patch=32, patch_radius=radius,
+                      sub_sample_size=0)
+
+    from points2surf_tpu.ops.patches import _ball_tile_candidates, _tile_select
+
+    m = _ball_tile_candidates(cfg, n_pad)
+    # the density really does exceed the old fixed depth: the candidate
+    # set must cover every point within max|q-c| + r of the tile centroid
+    for t in range(2):
+        qt = q[t * 128:(t + 1) * 128]
+        c = qt.mean(0)
+        need = len(
+            tree.query_ball_point(
+                c, np.linalg.norm(qt - c, axis=1).max() + radius
+            )
+        )
+        assert need > 16384  # old hard-coded depth -> uncertified cliff
+        assert m >= need
+
+    # the tiles themselves must certify (exactness via the FALLBACK would
+    # also pass the set assertions below)
+    _, _, _, all_cert = _tile_select(
+        jnp.asarray(pad), jnp.asarray(q), n_real, 32, cfg, 128,
+        jax.random.key(5), m=m,
+    )
+    assert bool(all_cert)
+
+    out = extract_patches(
+        jnp.asarray(pad), jnp.asarray(q), n_real, jax.random.key(5),
+        cfg=cfg, train=False,
+    )
+    ids = np.asarray(out["patch_pts_ids"])
+    patch_ps = np.asarray(out["patch_pts_ps"])
+    for i in range(q.shape[0]):
+        in_ball = set(tree.query_ball_point(q[i], radius * (1 + 1e-5)))
+        real = ids[i][np.linalg.norm(patch_ps[i], axis=-1) > 1e-7]
+        assert set(real.tolist()) <= in_ball
+        assert len(np.unique(real)) >= min(32, len(in_ball)) - 2
+
+
 def test_coherent_queries_use_certified_tiles(rng):
     """Grid-coherent batches must produce exact results via the tile path."""
     from scipy import spatial as sp

@@ -57,6 +57,40 @@ def test_train_and_refine_resume(tmp_path):
     tr2.train()  # one more epoch runs
 
 
+def test_log_every_batch_restores_reference_cadence(tmp_path):
+    """--log_every_batch 1 must emit one train total-loss scalar per train
+    batch (reference points_to_surf_train.py:474-478); default cadence is
+    every --debug_interval batches."""
+    from points2surf_tpu.train.trainer import Trainer
+
+    class CountingWriter:
+        def __init__(self):
+            self.tags = []
+
+        def add_scalar(self, tag, value, step):
+            self.tags.append(tag)
+
+        def flush(self):
+            pass
+
+    for every_batch, expect_all in ((1, True), (0, False)):
+        w = CountingWriter()
+        opt = _opt(str(tmp_path), debug_interval=100,
+                   log_every_batch=every_batch, nepoch=1)
+        tr = Trainer(opt, log_writer=w)
+        tr.train()
+        n_train_scalars = sum(
+            1 for t in w.tags if t == "loss/train/total"
+        )
+        if expect_all:
+            assert n_train_scalars == tr.steps_per_epoch
+        else:
+            # debug_interval=100 > steps_per_epoch: only batch 0 and the
+            # final batch log
+            assert n_train_scalars < tr.steps_per_epoch
+            assert n_train_scalars >= 1
+
+
 def test_lr_schedule_steps(tmp_path):
     from points2surf_tpu.train.trainer import Trainer
 
