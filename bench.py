@@ -143,6 +143,12 @@ def bench_train(jax, jnp, np, model, params, batch_stats, cfg, pts_dev, n,
     batch = int(os.environ.get("P2S_BENCH_TRAIN_BATCH", "1000"))
     outputs = ("imp_surf_magnitude", "imp_surf_sign")
     weights = {o: 1.0 for o in outputs}
+    # the train metric runs the PRODUCTION training config: bf16
+    # activations (the cli default — quality-parity since the fused
+    # pooled tails, docs/VALIDATION.md round 3). Params stay f32, so the
+    # caller's params/batch_stats are reused as-is.
+    if os.environ.get("P2S_BENCH_TRAIN_DTYPE", "bf16") == "bf16":
+        model = model.clone(dtype=jnp.bfloat16)
     tx = optax.sgd(0.01, momentum=0.9)
     opt_state = tx.init(params)
 

@@ -30,6 +30,9 @@ def main(args=None):
                    help="generate N procedural watertight base meshes "
                         "first (ABC stand-in, datagen/procedural.py)")
     p.add_argument("--procedural_seed", type=int, default=0)
+    p.add_argument("--procedural_styles", nargs="+", default=None,
+                   help="style cycle for the procedural meshes "
+                        "(csg bumpy hull thin); default mixes csg-heavy")
     a = p.parse_args(args)
 
     if a.procedural > 0:
@@ -39,7 +42,8 @@ def main(args=None):
 
         out = os.path.join(a.base_dir, a.name)
         names = make_procedural_meshes(out, a.procedural,
-                                       seed=a.procedural_seed)
+                                       seed=a.procedural_seed,
+                                       styles=a.procedural_styles)
         print(f"procedural: wrote {len(names)} base meshes to "
               f"{out}/00_base_meshes")
 

@@ -32,16 +32,20 @@ def parse_arguments(args=None):
                              'instead of every --debug_interval batches. '
                              'Costs one deferred device fetch per step '
                              '(~25-30 ms each through the axon tunnel).')
-    parser.add_argument('--train_dtype', type=str, default='float32',
+    parser.add_argument('--train_dtype', type=str, default='bfloat16',
                         choices=['float32', 'bfloat16'],
-                        help='EXPERIMENTAL activation dtype for the train '
-                             'step. bfloat16 is ~1.8x faster on TPU (the '
-                             'fwd/bwd is HBM-traffic-bound) but measured '
-                             'to degrade sign-head convergence (test f1 '
-                             '~0.6 vs ~0.95 at 50 epochs on proc120, '
-                             'docs/PERFORMANCE.md) — keep float32 for '
-                             'production. Params/batch stats/checkpoints '
-                             'are float32 either way.')
+                        help='activation dtype for the train step. '
+                             'bfloat16 (default) is ~1.5x faster end-to-'
+                             'end and QUALITY-PARITY with float32 since '
+                             'the fused pooled tails: BN statistics, '
+                             'post-pool affine, and all custom-VJP '
+                             'gradient algebra run in f32 (50-epoch '
+                             'proc120 gates: test f1 0.91-0.98 for both '
+                             'dtypes, docs/VALIDATION.md round 3; round '
+                             '2\'s bf16 sign-head regression came from '
+                             'the literal bf16 layer stack). Params/'
+                             'batch stats/checkpoints are float32 either '
+                             'way.')
     parser.add_argument('--refine', type=str, default='',
                         help='refine model at this path')
     parser.add_argument('--gpu_idx', type=int, default=[0], nargs='+',

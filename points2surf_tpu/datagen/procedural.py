@@ -151,6 +151,56 @@ def _csg_sdf(rng):
     return sdf
 
 
+# ----------------------------------------------------- thin features ----
+# Round-2 validation found the trained model's worst failures on shapes
+# with THIN features (proc_00061-class Hausdorff outliers: spurious
+# sign-error components on plates/rods; docs/VALIDATION.md). This family
+# makes such features a first-class training style so the
+# diversity-vs-pipeline diagnosis can be tested directly: plates, rods,
+# and thin tori (2-5% of object extent), optionally attached to a blob.
+
+
+def _thin_part(rng):
+    kind = rng.randint(0, 3)
+    if kind == 0:  # plate
+        half = np.array([
+            rng.uniform(0.2, 0.45), rng.uniform(0.2, 0.45),
+            rng.uniform(0.015, 0.035),
+        ])
+        return lambda p: _sd_box(p, half, 0.0)
+    if kind == 1:  # rod
+        half_h = rng.uniform(0.25, 0.45)
+        r = rng.uniform(0.015, 0.04)
+        return lambda p: _sd_capsule(p, half_h, r)
+    major = rng.uniform(0.3, 0.5)  # thin ring
+    minor = rng.uniform(0.02, 0.045)
+    return lambda p: _sd_torus(p, major, minor)
+
+
+def _thin_sdf(rng):
+    n_thin = rng.randint(1, 4)
+    parts = []
+    for _ in range(n_thin):
+        sd = _thin_part(rng)
+        # scale close to 1 so the feature thickness stays resolvable
+        xf, s = _random_rigid(rng, 0.85, 1.0)
+        parts.append((sd, xf, s))
+    if rng.rand() < 0.5:  # attach a compact blob (plate-on-body CAD look)
+        sd = _random_primitive(rng)
+        xf, s = _random_rigid(rng, 0.4, 0.65)
+        parts.append((sd, xf, s))
+
+    def sdf(p):
+        d = None
+        for sd, xf, s in parts:
+            di = sd(xf(p)) * s
+            # hard union only — smoothing would fatten the thin features
+            d = di if d is None else np.maximum(d, di)
+        return d
+
+    return sdf
+
+
 # ------------------------------------------------------- icosphere ------
 
 _ICO_T = (1.0 + np.sqrt(5.0)) / 2.0
@@ -252,6 +302,13 @@ def generate_mesh(seed: int, style: str | None = None):
         st = style or ("csg", "csg", "bumpy", "hull")[rng.randint(0, 4)]
         if st == "csg":
             out = _mesh_from_sdf(_csg_sdf(rng))
+            if out is None:
+                continue
+            v, f = out
+        elif st == "thin":
+            # higher marching resolution: a 0.03-thick plate needs >= 2
+            # voxels across (2/159 = 0.0126 per voxel at res 160)
+            out = _mesh_from_sdf(_thin_sdf(rng), res=160)
             if out is None:
                 continue
             v, f = out

@@ -83,10 +83,12 @@ def output_spec(outputs):
 
 
 def build_model(opt, pred_dim: int) -> PointsToSurfModel:
-    # bfloat16 activations make the train step ~1.8x faster on TPU (the
-    # fwd/bwd is HBM-traffic-bound through the BN-heavy point trunks;
-    # docs/PERFORMANCE.md). Params/batch-stats/loss stay f32; flax
-    # BatchNorm reduces statistics in f32 regardless of dtype.
+    # bfloat16 activations are the CLI default for training (~1.5x
+    # end-to-end epoch speed): since the fused pooled tails, BN stats,
+    # the post-pool affine, and the custom-VJP gradient algebra all run
+    # in f32, bf16 is quality-parity with f32 (50-epoch proc120 gates,
+    # docs/VALIDATION.md round 3). Params/batch-stats/loss stay f32.
+    # Library callers without the flag keep f32 (conservative default).
     dtype = (
         jnp.bfloat16
         if getattr(opt, "train_dtype", "float32") == "bfloat16"

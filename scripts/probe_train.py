@@ -74,11 +74,23 @@ def main():
     tx = optax.sgd(0.01, momentum=0.9)
     opt_state = tx.init(params)
 
-    def loss_fn(p, bs, bt):
-        pred, mutated = model.apply(
+    remat = os.environ.get("P2S_PROBE_REMAT", "")
+
+    def apply_fn(p, bs, bt):
+        return model.apply(
             {"params": p, "batch_stats": bs}, bt, True,
             mutable=["batch_stats"],
         )
+
+    if remat:
+        policy = {
+            "dots": jax.checkpoint_policies.dots_saveable,
+            "nothing": jax.checkpoint_policies.nothing_saveable,
+        }[remat]
+        apply_fn = jax.checkpoint(apply_fn, policy=policy)
+
+    def loss_fn(p, bs, bt):
+        pred, mutated = apply_fn(p, bs, bt)
         pred = pred.astype(jnp.float32)
         ll = L.compute_loss(pred, bt, outputs, weights, fixed_radius=False)
         return sum(ll), mutated["batch_stats"]

@@ -115,3 +115,45 @@ def test_npz_helpers(tmp_path, rng):
     p = str(tmp_path / "a.npz")
     file_utils.save_npz(p, arr)
     np.testing.assert_allclose(file_utils.load_npz(p), arr)
+
+
+def test_download_from_local_zip(tmp_path, monkeypatch):
+    """--from_local_zip installs pre-staged reference zips into the
+    dataset/model layout without network (the real-data readiness path;
+    the actual zips are unreachable from this host)."""
+    import io
+    import zipfile
+
+    import numpy as np
+
+    from points2surf_tpu.cli import download
+
+    # synthetic dataset zip with the reference's internal layout
+    staging = tmp_path / "zips"
+    staging.mkdir()
+    pts = np.zeros((10, 3), np.float32)
+    buf = io.BytesIO()
+    np.save(buf, pts)
+    with zipfile.ZipFile(staging / download.DATASETS["abc"], "w") as z:
+        z.writestr("abc/04_pts/x.xyz.npy", buf.getvalue())
+        z.writestr("abc/testset.txt", "x\n")
+    with zipfile.ZipFile(staging / download.MODELS["vanilla"], "w") as z:
+        z.writestr("vanilla_model_149.pth", b"stub")
+        z.writestr("vanilla_params.pth", b"stub")
+
+    monkeypatch.chdir(tmp_path)
+    rc = download.main(["--from_local_zip", str(staging), "datasets", "abc"])
+    assert rc == 0
+    assert (tmp_path / "datasets" / "abc" / "04_pts" / "x.xyz.npy").is_file()
+    assert (tmp_path / "datasets" / "abc" / "testset.txt").read_text() == "x\n"
+
+    rc = download.main(["--from_local_zip", str(staging), "models", "vanilla"])
+    assert rc == 0
+    assert (tmp_path / "models" / "vanilla_model_149.pth").is_file()
+
+    # missing zip -> non-zero rc, no crash
+    rc = download.main(["--from_local_zip", str(staging), "models", "max"])
+    assert rc == 1
+    # unknown name -> usage error rc
+    rc = download.main(["--from_local_zip", str(staging), "models", "nope"])
+    assert rc == 2

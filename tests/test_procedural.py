@@ -44,3 +44,26 @@ def test_make_procedural_meshes_layout(tmp_path):
         p = os.path.join(tmp_path, "00_base_meshes", name + ".ply")
         v, f = mesh_io.load_mesh(p)
         assert Mesh(v, f).is_watertight()
+
+
+def test_thin_style_meshes_are_watertight_and_thin():
+    """The thin-feature family (plates/rods/rings, 2-5% extent) must
+    produce watertight solids whose minimal thickness is genuinely small
+    relative to the bounding extent — the proc_00061-class failure mode
+    (docs/VALIDATION.md) made trainable."""
+    import numpy as np
+
+    thin_ratio = []
+    for seed in range(400, 403):
+        mesh = generate_mesh(seed, style="thin")
+        assert mesh.is_watertight()
+        v = mesh.vertices
+        extent = (v.max(0) - v.min(0)).max()
+        # thickness proxy: volume / surface area ~ half the plate
+        # thickness for plate-like bodies
+        fv = v[mesh.faces]
+        area = float(np.linalg.norm(
+            np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]), axis=1
+        ).sum()) * 0.5
+        thin_ratio.append(2.0 * mesh.volume / max(area, 1e-9) / extent)
+    assert min(thin_ratio) < 0.08, thin_ratio
