@@ -323,15 +323,37 @@ def _pooled_tail(x, act_relu, sym_op, dtype, train, conv_mod, bn_mod):
     CALLER (so the variables live at the caller's scope level)."""
     kernel, bias = conv_mod()
     need_minmax = sym_op == "max"
+    d = dtype or jnp.float32
+
+    if not train:
+        # EVAL: the BN statistics are the (known) running averages, so the
+        # affine can be applied elementwise BEFORE the pool, leaving ONE
+        # reduction consumer on the matmul — XLA then fuses the whole
+        # epilogue into the dot and never materializes (B, n, C). The
+        # train-mode max+min formulation has TWO reduction consumers,
+        # which XLA materializes — a compile-time OOM at eval batch sizes
+        # (f32[4096,1300,1024] = 21.8 GB observed).
+        scale, bn_bias, mean, var = bn_mod()
+        inv = (scale.astype(jnp.float32) * jax.lax.rsqrt(var + 1e-5))
+        shift = bn_bias.astype(jnp.float32) - mean * inv
+        c = (
+            jnp.einsum("bni,ij->bnj", x.astype(d), kernel.astype(d))
+            + bias.astype(d)[None, None, :]
+        )
+        y = c.astype(jnp.float32) * inv[None, None, :] + shift[None, None, :]
+        if act_relu:
+            y = nn.relu(y)
+        pooled = (
+            jnp.max(y, axis=1) if need_minmax else jnp.sum(y, axis=1)
+        )
+        return pooled.astype(d)
+
     reduce_fn = _linear_pool_reductions if _FUSED_TAIL >= 2 else _lpr_compute
     cmax, cmin, csum, bmean, bvar = reduce_fn(
-        x, kernel, bias, dtype, need_minmax, train
+        x, kernel, bias, dtype, need_minmax, True
     )
-    if train:
-        scale, bn_bias, _, _ = bn_mod(bmean, bvar)
-        mean, var = bmean, bvar
-    else:
-        scale, bn_bias, mean, var = bn_mod()
+    scale, bn_bias, _, _ = bn_mod(bmean, bvar)
+    mean, var = bmean, bvar
     inv = scale.astype(jnp.float32) * jax.lax.rsqrt(var + 1e-5)
     shift = bn_bias.astype(jnp.float32) - mean * inv
     if need_minmax:
@@ -349,7 +371,7 @@ def _pooled_tail(x, act_relu, sym_op, dtype, train, conv_mod, bn_mod):
         pooled = csum * inv[None, :] + n_pts * shift[None, :]
     if act_relu:
         pooled = nn.relu(pooled)
-    return pooled.astype(dtype or jnp.float32)
+    return pooled.astype(d)
 
 
 class _STNTrunk(nn.Module):
