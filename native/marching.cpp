@@ -65,19 +65,25 @@ struct CaseInit {
             set_tri(mask, 0, a0, b0, a1, b1, a2, b2);
             set_tri(mask, 1, c0, d0, c1, d1, c2, d2);
         };
+        // Windings are coherently oriented BY CONSTRUCTION (inside ->
+        // outside, derived in the canonical positive-parity tet — see
+        // python _orient_case_table); all six Kuhn tets have positive
+        // parity, so the surface comes out globally consistent and no
+        // per-face gradient orientation is needed (gradients mis-orient
+        // faces on thin features and broke watertightness there).
         set1(0b0001, 0, 1, 0, 2, 0, 3);
-        set1(0b0010, 1, 0, 1, 2, 1, 3);
+        set1(0b0010, 1, 0, 1, 3, 1, 2);
         set1(0b0100, 2, 0, 2, 1, 2, 3);
-        set1(0b1000, 3, 0, 3, 1, 3, 2);
+        set1(0b1000, 3, 0, 3, 2, 3, 1);
         set2(0b0011, 0, 2, 0, 3, 1, 3, 0, 2, 1, 3, 1, 2);
-        set2(0b0101, 0, 1, 0, 3, 2, 3, 0, 1, 2, 3, 2, 1);
+        set2(0b0101, 0, 1, 2, 3, 0, 3, 0, 1, 2, 1, 2, 3);
         set2(0b1001, 0, 1, 0, 2, 3, 2, 0, 1, 3, 2, 3, 1);
         set2(0b0110, 1, 0, 1, 3, 2, 3, 1, 0, 2, 3, 2, 0);
-        set2(0b1010, 1, 0, 1, 2, 3, 2, 1, 0, 3, 2, 3, 0);
+        set2(0b1010, 1, 0, 3, 2, 1, 2, 1, 0, 3, 0, 3, 2);
         set2(0b1100, 2, 0, 2, 1, 3, 1, 2, 0, 3, 1, 3, 0);
-        set1(0b1110, 1, 0, 2, 0, 3, 0);
+        set1(0b1110, 1, 0, 3, 0, 2, 0);
         set1(0b1101, 0, 1, 2, 1, 3, 1);
-        set1(0b1011, 0, 2, 1, 2, 3, 2);
+        set1(0b1011, 0, 2, 3, 2, 1, 2);
         set1(0b0111, 0, 3, 1, 3, 2, 3);
     }
 } case_init;
@@ -249,47 +255,9 @@ int mt_extract(const float* vol, int rx, int ry, int rz, float level,
     }
     std::memcpy(f_out, faces.data(), faces.size() * sizeof(int64_t));
 
-    // orient faces so normals point toward decreasing field (outside):
-    // same rule as the python _orient_faces (centroid-voxel central-
-    // difference gradient vs face normal), done here to avoid a numpy
-    // pass that materializes three full gradient volumes
-    auto grad1 = [&](int i, int n, int64_t g, int64_t stride) -> float {
-        if (i <= 0) return vol[g + stride] - vol[g];
-        if (i >= n - 1) return vol[g] - vol[g - stride];
-        return 0.5f * (vol[g + stride] - vol[g - stride]);
-    };
-#ifdef _OPENMP
-#pragma omp parallel for
-#endif
-    for (int64_t i = 0; i < nf; i++) {
-        const float* p0 = verts + f_out[i * 3 + 0] * 3;
-        const float* p1 = verts + f_out[i * 3 + 1] * 3;
-        const float* p2 = verts + f_out[i * 3 + 2] * 3;
-        float cx = (p0[0] + p1[0] + p2[0]) / 3.0f;
-        float cy = (p0[1] + p1[1] + p2[1]) / 3.0f;
-        float cz = (p0[2] + p1[2] + p2[2]) / 3.0f;
-        auto clampi = [](float v, int n) {
-            int i2 = static_cast<int>(v + 0.5f);  // round half up (>= 0)
-            if (i2 < 0) i2 = 0;
-            if (i2 > n - 1) i2 = n - 1;
-            return i2;
-        };
-        int ix = clampi(cx, rx), iy = clampi(cy, ry), iz = clampi(cz, rz);
-        int64_t g = gid(ix, iy, iz);
-        float gx = grad1(ix, rx, g, syx);
-        float gy = grad1(iy, ry, g, rz);
-        float gz = grad1(iz, rz, g, 1);
-        float ax = p1[0] - p0[0], ay = p1[1] - p0[1], az = p1[2] - p0[2];
-        float bx = p2[0] - p0[0], by = p2[1] - p0[1], bz = p2[2] - p0[2];
-        float nx = ay * bz - az * by;
-        float ny = az * bx - ax * bz;
-        float nz = ax * by - ay * bx;
-        if (nx * gx + ny * gy + nz * gz > 0.0f) {
-            int64_t t = f_out[i * 3 + 0];
-            f_out[i * 3 + 0] = f_out[i * 3 + 2];
-            f_out[i * 3 + 2] = t;
-        }
-    }
+    // faces come out coherently oriented from the parity-consistent case
+    // table (normals toward the negative/outside side) — no per-face
+    // gradient orientation pass
 
     *out_verts = verts;
     *out_faces = f_out;

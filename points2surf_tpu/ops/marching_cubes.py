@@ -11,9 +11,13 @@ The extraction is fully vectorized numpy over z-slabs; a C++ native version
 (native/marching.cpp, loaded via ctypes) replaces it transparently when
 built — see `extract_isosurface`.
 
-Faces are oriented coherently by the field gradient so that normals point
-toward the negative (outside) side, replacing the reference's
-``trimesh.repair.fix_inversion`` (sdf.py:226).
+Faces are oriented coherently BY CONSTRUCTION: all six Kuhn tets have
+positive parity, so a case table whose windings point from the inside
+region toward the outside region (see ``_orient_case_table``) yields a
+globally consistent surface with normals toward the negative (outside)
+side — replacing the reference's ``trimesh.repair.fix_inversion``
+(sdf.py:226) without the per-face gradient pass that mis-oriented faces
+on thin features.
 """
 
 from __future__ import annotations
@@ -64,6 +68,41 @@ _CASES[0b1110] = [[(1, 0), (2, 0), (3, 0)]]
 _CASES[0b1101] = [[(0, 1), (2, 1), (3, 1)]]
 _CASES[0b1011] = [[(0, 2), (1, 2), (3, 2)]]
 _CASES[0b0111] = [[(0, 3), (1, 3), (2, 3)]]
+
+
+def _orient_case_table():
+    """Fix each case's triangle windings so normals point intrinsically
+    from the inside (value > level) region toward the outside region.
+
+    All six Kuhn tets share POSITIVE parity (det of their corner frames
+    > 0 — that is what makes a single index-based case table geometrically
+    consistent across them), so windings derived in one canonical
+    positive-parity tet give a globally consistent, coherently oriented
+    surface — no per-face gradient pass needed. The previous
+    gradient-based orientation failed on THIN features (central
+    differences at a face centroid sample across a 2-3-voxel plate and
+    flip the wrong way), producing non-watertight output.
+    """
+    canon = np.asarray(_CORNERS[[0, 1, 2, 6]], np.float64)  # first Kuhn tet
+    for mask in range(16):
+        tris = _CASES[mask]
+        if not tris:
+            continue
+        inside = [i for i in range(4) if (mask >> i) & 1]
+        outside = [i for i in range(4) if not (mask >> i) & 1]
+        d = canon[outside].mean(0) - canon[inside].mean(0)
+        for tri in tris:
+            pts = np.asarray(
+                [(canon[a] + canon[b]) / 2.0 for a, b in tri]
+            )
+            n = np.cross(pts[1] - pts[0], pts[2] - pts[0])
+            dot = float(np.dot(n, d))
+            assert abs(dot) > 1e-9, (mask, tri)
+            if dot < 0:
+                tri[1], tri[2] = tri[2], tri[1]
+
+
+_orient_case_table()
 
 
 def marching_tetrahedra(vol: np.ndarray, level: float = 0.0):
@@ -170,7 +209,8 @@ def marching_tetrahedra(vol: np.ndarray, level: float = 0.0):
     ).astype(np.float32)
     vertices = pos_i + t[:, None].astype(np.float32) * (pos_o - pos_i)
 
-    faces = _orient_faces(vertices, faces, vol)
+    # faces come out coherently oriented from the parity-consistent case
+    # table (see _orient_case_table) — no per-face gradient pass
     # drop degenerate faces (two edges collapsed to the same vertex)
     good = (
         (faces[:, 0] != faces[:, 1])
@@ -185,9 +225,11 @@ def _orient_faces(
 ) -> np.ndarray:
     """Flip faces so normals point toward decreasing field (outside).
 
-    Positive field = inside; outward normals thus anti-align with the field
-    gradient. Replaces trimesh.repair.fix_inversion (reference sdf.py:226)
-    with a per-face coherent rule.
+    LEGACY (kept for diagnostics): per-face gradient orientation. No
+    longer used by marching_tetrahedra — the case table itself is now
+    coherently oriented (_orient_case_table), which is also correct on
+    thin features where centroid gradients sample across the plate and
+    flip the wrong way.
     """
     if faces.size == 0:
         return faces

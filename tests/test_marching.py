@@ -108,3 +108,31 @@ def test_native_speed_large_volume(rng):
     t_native = time.time() - t0
     assert len(f) > 100000
     assert t_native < 10.0
+
+
+def test_thin_plate_watertight_both_impls():
+    """Regression: gradient-based face orientation flipped faces on thin
+    features (centroid central differences sample across a 2-3-voxel
+    plate), breaking watertightness. The parity-consistent case table
+    must produce watertight, outward-oriented output on a thin plate for
+    BOTH the numpy and native kernels."""
+    from points2surf_tpu.ops import marching_cubes, marching_native
+    from points2surf_tpu.utils.mesh import Mesh
+
+    lin = np.linspace(-1, 1, 64, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    vol = np.minimum(
+        0.03 - np.abs(z), 0.5 - np.maximum(np.abs(x), np.abs(y))
+    ).astype(np.float32)
+
+    for name, fn in (
+        ("numpy", marching_cubes.marching_tetrahedra),
+        ("native", marching_native.marching_tetrahedra),
+    ):
+        v, f = fn(vol, 0.0)
+        m = Mesh(v.astype(np.float32), np.asarray(f)).cleaned()
+        assert m.is_watertight(), name
+        assert m.volume > 0, name  # outward orientation
+        # volume ~ plate: 1.0 x 1.0 x 0.06 in field units; vertices are in
+        # voxel units (31.5 per unit): 31.5^2 * 1.89 ~ 1877
+        assert 1500 < m.volume < 2300, (name, m.volume)
