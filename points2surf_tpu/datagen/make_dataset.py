@@ -70,6 +70,11 @@ def _clean_mesh(file_in, file_out, num_max_faces=None, enforce_solid=True):
         return
     mesh = mesh.fixed_inversion()
     if num_max_faces is not None and len(mesh.faces) >= num_max_faces:
+        print(
+            f"skipping {os.path.basename(file_in)}: {len(mesh.faces)} faces "
+            f">= num_max_faces {num_max_faces} (raise --num_max_faces to "
+            f"keep it; high-res thin-feature meshes commonly exceed 50k)"
+        )
         return
     mesh_io.write_ply(file_out, mesh.vertices, mesh.faces)
 
