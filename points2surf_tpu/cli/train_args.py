@@ -46,6 +46,14 @@ def parse_arguments(args=None):
                              'the literal bf16 layer stack). Params/'
                              'batch stats/checkpoints are float32 either '
                              'way.')
+    parser.add_argument('--f32_finetune_epochs', type=int, default=0,
+                        help='with --train_dtype bfloat16, run the FINAL N '
+                             'epochs in float32 (precision annealing): the '
+                             'bulk of training takes the bf16 step-time '
+                             'win, then an f32 polish restores full sign '
+                             'acuity near thin features (reconstruction-'
+                             'grade quality, docs/VALIDATION.md round 3). '
+                             'No effect when training in float32.')
     parser.add_argument('--refine', type=str, default='',
                         help='refine model at this path')
     parser.add_argument('--gpu_idx', type=int, default=[0], nargs='+',

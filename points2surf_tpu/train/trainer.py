@@ -391,8 +391,26 @@ class Trainer:
             ):
                 self._log(*pending_logs.popleft())
 
+        # precision annealing: with --train_dtype bfloat16 and
+        # --f32_finetune_epochs N, the final N epochs rebuild the jitted
+        # steps with float32 activations. Params/optimizer state are f32
+        # storage either way, so the switch is just a re-jit; the f32
+        # programs come out of the persistent compile cache.
+        f32_tail = max(0, int(getattr(opt, "f32_finetune_epochs", 0)))
+        dtype_switch_epoch = opt.nepoch - f32_tail
+
         for epoch in range(self.start_epoch, opt.nepoch):
             t_epoch = time.time()
+            if (
+                self.model.dtype is not None
+                and epoch >= dtype_switch_epoch
+            ):
+                print(
+                    f"precision annealing: switching to float32 steps at "
+                    f"epoch {epoch}"
+                )
+                self.model = self.model.clone(dtype=None)
+                self._build_steps()
             if opt.identical_epochs:
                 self.train_pipe.reset()
                 self.test_pipe.reset()

@@ -162,3 +162,27 @@ def test_train_dtype_bfloat16(tmp_path):
     # default stays float32 (reference-parity conservative default)
     tr32 = Trainer(_opt(str(tmp_path), name="t32"))
     assert tr32.model.dtype is None
+
+
+def test_f32_finetune_epochs_anneals_dtype(tmp_path, capsys):
+    """--f32_finetune_epochs N: with bf16 training, the final N epochs
+    rebuild the jitted steps with float32 activations (precision
+    annealing). Earlier epochs stay bf16."""
+    import jax.numpy as jnp
+
+    from points2surf_tpu.train.trainer import Trainer
+
+    opt = _opt(str(tmp_path), train_dtype="bfloat16", nepoch=3,
+               f32_finetune_epochs=1)
+    tr = Trainer(opt)
+    assert tr.model.dtype == jnp.bfloat16
+    tr.train()
+    # after training the model must have been switched to f32 for epoch 2
+    assert tr.model.dtype is None
+    out = capsys.readouterr().out
+    assert "switching to float32 steps at epoch 2" in out
+    # no-op when training is already float32
+    tr32 = Trainer(_opt(str(tmp_path), name="t32f", nepoch=1,
+                        f32_finetune_epochs=1))
+    tr32.train()
+    assert tr32.model.dtype is None
