@@ -34,26 +34,27 @@ def parse_arguments(args=None):
                              '(~25-30 ms each through the axon tunnel).')
     parser.add_argument('--train_dtype', type=str, default='bfloat16',
                         choices=['float32', 'bfloat16'],
-                        help='activation dtype for the train step. '
-                             'bfloat16 (default) is ~1.5x faster end-to-'
-                             'end and QUALITY-PARITY with float32 since '
-                             'the fused pooled tails: BN statistics, '
-                             'post-pool affine, and all custom-VJP '
-                             'gradient algebra run in f32 (50-epoch '
-                             'proc120 gates: test f1 0.91-0.98 for both '
-                             'dtypes, docs/VALIDATION.md round 3; round '
-                             '2\'s bf16 sign-head regression came from '
-                             'the literal bf16 layer stack). Params/'
-                             'batch stats/checkpoints are float32 either '
-                             'way.')
-    parser.add_argument('--f32_finetune_epochs', type=int, default=0,
+                        help='activation dtype for the bulk of training. '
+                             'bfloat16 (default) is ~1.5x faster per '
+                             'epoch; pure-bf16 training subtly degrades '
+                             'reconstruction-grade sign acuity near thin '
+                             'features even when test f1 matches f32 '
+                             '(docs/VALIDATION.md round 3), so by default '
+                             'the FINAL 20%% of epochs run in float32 '
+                             '(--f32_finetune_epochs, precision '
+                             'annealing), which restores f32-grade sign '
+                             'quality in the 50-epoch gates. Params/batch '
+                             'stats/checkpoints are float32 either way.')
+    parser.add_argument('--f32_finetune_epochs', type=int, default=-1,
                         help='with --train_dtype bfloat16, run the FINAL N '
                              'epochs in float32 (precision annealing): the '
                              'bulk of training takes the bf16 step-time '
                              'win, then an f32 polish restores full sign '
                              'acuity near thin features (reconstruction-'
                              'grade quality, docs/VALIDATION.md round 3). '
-                             'No effect when training in float32.')
+                             '-1 (default) = auto: max(5, nepoch/5). 0 '
+                             'disables the polish (pure bf16). No effect '
+                             'when training in float32.')
     parser.add_argument('--refine', type=str, default='',
                         help='refine model at this path')
     parser.add_argument('--gpu_idx', type=int, default=[0], nargs='+',

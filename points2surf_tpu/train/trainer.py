@@ -83,11 +83,13 @@ def output_spec(outputs):
 
 
 def build_model(opt, pred_dim: int) -> PointsToSurfModel:
-    # bfloat16 activations are the CLI default for training (~1.5x
-    # end-to-end epoch speed): since the fused pooled tails, BN stats,
-    # the post-pool affine, and the custom-VJP gradient algebra all run
-    # in f32, bf16 is quality-parity with f32 (50-epoch proc120 gates,
-    # docs/VALIDATION.md round 3). Params/batch-stats/loss stay f32.
+    # bfloat16 activations are the CLI default for the BULK of training
+    # (~1.5x epoch speed), combined with a float32 polish for the final
+    # epochs (--f32_finetune_epochs, resolved in train()): pure-bf16
+    # training degrades reconstruction-grade sign acuity near thin
+    # features even though interleaved test f1 matches f32 — the anneal
+    # restores f32-grade quality in the 50-epoch gates
+    # (docs/VALIDATION.md round 3). Params/batch-stats/loss stay f32.
     # Library callers without the flag keep f32 (conservative default).
     dtype = (
         jnp.bfloat16
@@ -395,8 +397,12 @@ class Trainer:
         # --f32_finetune_epochs N, the final N epochs rebuild the jitted
         # steps with float32 activations. Params/optimizer state are f32
         # storage either way, so the switch is just a re-jit; the f32
-        # programs come out of the persistent compile cache.
-        f32_tail = max(0, int(getattr(opt, "f32_finetune_epochs", 0)))
+        # programs come out of the persistent compile cache. N = -1 (the
+        # CLI default) resolves to max(5, nepoch // 5) — the 40/10 split
+        # validated by the round-3 gates (docs/VALIDATION.md).
+        f32_tail = int(getattr(opt, "f32_finetune_epochs", 0))
+        if f32_tail < 0:
+            f32_tail = max(5, opt.nepoch // 5)
         dtype_switch_epoch = opt.nepoch - f32_tail
 
         for epoch in range(self.start_epoch, opt.nepoch):

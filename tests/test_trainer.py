@@ -186,3 +186,10 @@ def test_f32_finetune_epochs_anneals_dtype(tmp_path, capsys):
                         f32_finetune_epochs=1))
     tr32.train()
     assert tr32.model.dtype is None
+    # -1 = auto: max(5, nepoch//5) f32 tail epochs; with tiny nepoch the
+    # polish covers the whole run (switch fires at the first epoch)
+    tra = Trainer(_opt(str(tmp_path), name="tauto", nepoch=1,
+                       train_dtype="bfloat16", f32_finetune_epochs=-1))
+    tra.train()
+    assert tra.model.dtype is None
+    assert "switching to float32 steps at epoch 0" in capsys.readouterr().out
