@@ -14,10 +14,11 @@ NOT synchronize through the axon tunnel, docs/PERFORMANCE.md):
    generation + SDF sweep + splat + sign propagation + native marching
    tetrahedra. Baseline 308 s/mesh (same ~1 day / ~280 meshes).
 3. train_patches_per_sec — the fused train step (extraction + fwd/bwd +
-   SGD in one dispatch) at batch 1000, as the production 80/20
-   bf16/f32 precision-annealing blend (both phase throughputs ride
-   along as extra fields). Baseline 1,736 patches/s: the reference
-   trains ~5M patches/epoch in ~48 min on 4x RTX 2080 Ti (README.md:119).
+   SGD in one dispatch) at batch 1000 in the production float32 config
+   (the experimental bf16 step rides along as an extra field; bf16
+   training is not reconstruction-grade, docs/VALIDATION.md round 3).
+   Baseline 1,736 patches/s: the reference trains ~5M patches/epoch in
+   ~48 min on 4x RTX 2080 Ti (README.md:119).
 
 Prints ONE JSON line; primary metric is (1), the others ride along as
 extra fields.
@@ -262,21 +263,20 @@ def main():
     }
 
     if os.environ.get("P2S_BENCH_SKIP_TRAIN", "") != "1":
-        # production training anneals precision: 80% of epochs run bf16
-        # steps, the final 20% run f32 (--f32_finetune_epochs auto,
-        # docs/VALIDATION.md round 3). Measure both step programs and
-        # report the epoch-weighted blend as the headline train metric.
+        # the headline train metric is the PRODUCTION default: float32
+        # activations (bf16 training is not reconstruction-grade — sign
+        # acuity near thin features, docs/VALIDATION.md round 3). The
+        # bf16 step, the opt-in fast path for f1-level experimentation,
+        # rides along as an extra field.
+        os.environ["P2S_BENCH_TRAIN_DTYPE"] = "f32"
+        pps = bench_train(jax, jnp, np, model, params, batch_stats,
+                          cfg, pts_dev, n, queries, rtt)
         os.environ["P2S_BENCH_TRAIN_DTYPE"] = "bf16"
         pps_bf16 = bench_train(jax, jnp, np, model, params, batch_stats,
                                cfg, pts_dev, n, queries, rtt)
-        os.environ["P2S_BENCH_TRAIN_DTYPE"] = "f32"
-        pps_f32 = bench_train(jax, jnp, np, model, params, batch_stats,
-                              cfg, pts_dev, n, queries, rtt)
-        pps = 1.0 / (0.8 / pps_bf16 + 0.2 / pps_f32)
         result["train_patches_per_sec"] = round(pps, 1)
         result["train_vs_baseline"] = round(pps / BASELINE_TRAIN_PPS, 3)
-        result["train_pps_bf16_phase"] = round(pps_bf16, 1)
-        result["train_pps_f32_phase"] = round(pps_f32, 1)
+        result["train_pps_bf16_experimental"] = round(pps_bf16, 1)
 
     if os.environ.get("P2S_BENCH_SKIP_MESH", "") != "1":
         spm = bench_mesh(jax, jnp, np, model, params, batch_stats, cfg,

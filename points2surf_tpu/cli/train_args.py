@@ -32,28 +32,34 @@ def parse_arguments(args=None):
                              'instead of every --debug_interval batches. '
                              'Costs one deferred device fetch per step '
                              '(~25-30 ms each through the axon tunnel).')
-    parser.add_argument('--train_dtype', type=str, default='bfloat16',
+    parser.add_argument('--train_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
-                        help='activation dtype for the bulk of training. '
-                             'bfloat16 (default) is ~1.5x faster per '
-                             'epoch; pure-bf16 training subtly degrades '
-                             'reconstruction-grade sign acuity near thin '
-                             'features even when test f1 matches f32 '
-                             '(docs/VALIDATION.md round 3), so by default '
-                             'the FINAL 20%% of epochs run in float32 '
-                             '(--f32_finetune_epochs, precision '
-                             'annealing), which restores f32-grade sign '
-                             'quality in the 50-epoch gates. Params/batch '
-                             'stats/checkpoints are float32 either way.')
+                        help='activation dtype for training. float32 '
+                             '(default) is the reconstruction-grade '
+                             'production setting. bfloat16 is ~1.5x '
+                             'faster per epoch and matches f32 on '
+                             'interleaved test f1, but subtly degrades '
+                             'sign acuity near thin features at the '
+                             'reconstruction grid (sign-err 6.5->7.2%% '
+                             'on the proc_120 gates), which sign '
+                             'propagation can amplify into flooded '
+                             'volumes on marginal shapes; a trailing f32 '
+                             'polish (--f32_finetune_epochs) does NOT '
+                             'repair it (docs/VALIDATION.md round 3). '
+                             'Use bfloat16 for f1-level experimentation, '
+                             'not production reconstruction. Params/'
+                             'batch stats/checkpoints are float32 either '
+                             'way.')
     parser.add_argument('--f32_finetune_epochs', type=int, default=-1,
                         help='with --train_dtype bfloat16, run the FINAL N '
-                             'epochs in float32 (precision annealing): the '
-                             'bulk of training takes the bf16 step-time '
-                             'win, then an f32 polish restores full sign '
-                             'acuity near thin features (reconstruction-'
-                             'grade quality, docs/VALIDATION.md round 3). '
-                             '-1 (default) = auto: max(5, nepoch/5). 0 '
-                             'disables the polish (pure bf16). No effect '
+                             'epochs in float32 (precision annealing). '
+                             'Measured NOT to recover f32-grade '
+                             'reconstruction sign quality — the bf16 '
+                             'damage accumulates across the whole run '
+                             '(docs/VALIDATION.md round 3) — but kept '
+                             'for experimentation. -1 (default) = auto: '
+                             'max(5, nepoch/5) when train_dtype is '
+                             'bfloat16. 0 disables the polish. No effect '
                              'when training in float32.')
     parser.add_argument('--refine', type=str, default='',
                         help='refine model at this path')

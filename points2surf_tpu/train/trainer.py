@@ -83,14 +83,13 @@ def output_spec(outputs):
 
 
 def build_model(opt, pred_dim: int) -> PointsToSurfModel:
-    # bfloat16 activations are the CLI default for the BULK of training
-    # (~1.5x epoch speed), combined with a float32 polish for the final
-    # epochs (--f32_finetune_epochs, resolved in train()): pure-bf16
-    # training degrades reconstruction-grade sign acuity near thin
-    # features even though interleaved test f1 matches f32 — the anneal
-    # restores f32-grade quality in the 50-epoch gates
-    # (docs/VALIDATION.md round 3). Params/batch-stats/loss stay f32.
-    # Library callers without the flag keep f32 (conservative default).
+    # float32 activations are the production default: bf16 training
+    # (~1.5x epoch speed) matches f32 on interleaved test f1 but
+    # degrades sign acuity at the reconstruction grid near thin
+    # features, which sign propagation can amplify into flooded
+    # volumes — and a trailing f32 polish does not repair it
+    # (docs/VALIDATION.md round 3). bfloat16 remains available for
+    # f1-level experimentation. Params/batch-stats/loss stay f32.
     dtype = (
         jnp.bfloat16
         if getattr(opt, "train_dtype", "float32") == "bfloat16"
