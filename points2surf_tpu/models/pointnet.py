@@ -26,6 +26,17 @@ import jax.numpy as jnp
 
 from points2surf_tpu.ops import geometry
 
+# checkpoint_name annotations mark cheap-to-save boundaries of the
+# per-point chains (pool outputs, rotated inputs). They are no-ops in
+# normal execution; wrapping the model apply in jax.checkpoint with
+# jax.checkpoint_policies.save_only_these_names(*CHAIN_BOUNDARY_NAMES)
+# turns them into a TARGETED remat that stores only these tensors and
+# recomputes the HBM-heavy (B, n, 64/128) interiors in the backward
+# (A/B via scripts/probe_train.py P2S_PROBE_REMAT=names).
+from jax.ad_checkpoint import checkpoint_name
+
+CHAIN_BOUNDARY_NAMES = ("p2s_rot_pts", "p2s_feat_rot", "p2s_pool")
+
 
 def torch_linear_init(fan_in: int):
     """torch's default Linear/Conv init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
@@ -399,6 +410,7 @@ class _STNTrunk(nn.Module):
                 ),
                 bn_mod=_TailBNOwner(self.net_size_max, name="bn3"),
             )
+            h = checkpoint_name(h, "p2s_pool")
         else:
             h = nn.relu(
                 BN(d, name="bn3")(
@@ -493,7 +505,9 @@ class PointNetFeat(nn.Module):
             trans, trans_quat = QSTN(
                 self.net_size_max, d, self.num_scales, name="stn1"
             )(x, train)
-            x = geometry.transform_points(x, trans)
+            x = checkpoint_name(
+                geometry.transform_points(x, trans), "p2s_rot_pts"
+            )
 
         h = nn.relu(BN(d, name="bn0a")(PLinear(64, d, name="conv0a")(x), train))
         h = nn.relu(BN(d, name="bn0b")(PLinear(64, d, name="conv0b")(h), train))
@@ -502,7 +516,9 @@ class PointNetFeat(nn.Module):
         if self.use_feat_stn:
             trans2 = STN(self.net_size_max, 64, d, self.num_scales,
                          name="stn2")(h, train)
-            h = jnp.einsum("bij,bnj->bni", trans2, h)
+            h = checkpoint_name(
+                jnp.einsum("bij,bnj->bni", trans2, h), "p2s_feat_rot"
+            )
 
         h = nn.relu(BN(d, name="bn1")(PLinear(64, d, name="conv1")(h), train))
         h = nn.relu(BN(d, name="bn2")(PLinear(128, d, name="conv2")(h), train))
@@ -513,12 +529,16 @@ class PointNetFeat(nn.Module):
         if _FUSED_TAIL and self.num_scales == 1:
             # fused conv3 -> bn3 -> sym pool (no relu before the pool in
             # the single-scale reference path, model.py:209-230)
-            h = _pooled_tail(
-                h, act_relu=False, sym_op=self.sym_op, dtype=d, train=train,
-                conv_mod=_TailDenseOwner(
-                    self.output_size, h.shape[-1], name="conv3"
+            h = checkpoint_name(
+                _pooled_tail(
+                    h, act_relu=False, sym_op=self.sym_op, dtype=d,
+                    train=train,
+                    conv_mod=_TailDenseOwner(
+                        self.output_size, h.shape[-1], name="conv3"
+                    ),
+                    bn_mod=_TailBNOwner(self.output_size, name="bn3"),
                 ),
-                bn_mod=_TailBNOwner(self.output_size, name="bn3"),
+                "p2s_pool",
             )
         else:
             h = BN(d, name="bn3")(

@@ -83,9 +83,17 @@ def main():
         )
 
     if remat:
+        from points2surf_tpu.models.pointnet import CHAIN_BOUNDARY_NAMES
+
         policy = {
             "dots": jax.checkpoint_policies.dots_saveable,
             "nothing": jax.checkpoint_policies.nothing_saveable,
+            # targeted: save only the annotated cheap chain boundaries
+            # (pool outputs, rotated inputs); recompute the HBM-heavy
+            # (B, n, 64/128) per-point interiors in the backward
+            "names": jax.checkpoint_policies.save_only_these_names(
+                *CHAIN_BOUNDARY_NAMES
+            ),
         }[remat]
         apply_fn = jax.checkpoint(apply_fn, policy=policy)
 
