@@ -193,6 +193,12 @@ class _TailBNOwner(nn.Module):
         return _TailBN(self.features, name="norm")(batch_mean, batch_var)
 
 
+def _pallas_tail_supported(x, kernel) -> bool:
+    from points2surf_tpu.ops.pallas.train_tail import supported
+
+    return supported(x, kernel)
+
+
 def _lpr_compute(x, kernel, bias, dtype, need_minmax, need_stats,
                  with_argminmax=False):
     """Per-(batch, channel) reductions of ``c = x @ kernel + bias`` without
@@ -229,6 +235,38 @@ def _linear_pool_reductions(x, kernel, bias, dtype, need_minmax, need_stats):
 
 
 def _lpr_fwd(x, kernel, bias, dtype, need_minmax, need_stats):
+    d = dtype or jnp.float32
+    if (
+        d == jnp.float32
+        and _os.environ.get("P2S_PALLAS_TAIL", "1") == "1"
+        and jax.device_count() == 1
+        and _pallas_tail_supported(x, kernel)
+    ):
+        # one-pass Pallas reductions: the (B, n, C) dot output never
+        # touches HBM (XLA materializes it for multi-consumer reductions
+        # — ~27 GB/step across the five flagship tails). Single-device
+        # gate: pallas_call has no partitioning rule, so sharded meshes
+        # keep the XLA path.
+        from points2surf_tpu.ops.pallas.train_tail import (
+            pooled_tail_reductions,
+        )
+
+        kmax, amax, kmin, amin, rsum, rsq = pooled_tail_reductions(
+            x.astype(jnp.float32), kernel.astype(jnp.float32),
+            bias.astype(jnp.float32),
+        )
+        n_tot = x.shape[0] * x.shape[1]
+        cmax = cmin = csum = mean = var = None
+        if need_minmax:
+            cmax, cmin = kmax, kmin
+        else:
+            csum = rsum
+        if need_stats:
+            mean = jnp.sum(rsum, axis=0) / n_tot
+            var = jnp.sum(rsq, axis=0) / n_tot - jnp.square(mean)
+        return (cmax, cmin, csum, mean, var), (
+            x, kernel, bias, amax, amin, mean
+        )
     cmax, cmin, csum, mean, var, amax, amin = _lpr_compute(
         x, kernel, bias, dtype, need_minmax, need_stats, with_argminmax=True
     )

@@ -1,0 +1,143 @@
+"""Pallas kernel: train-mode pooled-tail reductions in one pass.
+
+The train-mode pooled tails (models/pointnet.py `_pooled_tail`) need,
+from ``c = x @ W + b`` with x (B, n, Cin):
+
+  cmax/argmax and cmin/argmin over n   (max-pool value + VJP routing)
+  per-row sum over n                   (sum-pool value / BN statistics)
+  per-row sum of squares over n        (BN statistics)
+
+XLA fuses a dot with ONE reduction consumer into the matmul epilogue,
+but with four consumers it materializes the full (B, n, C) activation —
+f32[1000, 1300, 1024] = 5.3 GB written + four reduction reads per tail,
+~27 GB of HBM traffic across the five tails of the flagship model (the
+dominant cost of the f32 train step, docs/PERFORMANCE.md round 3). This
+kernel streams the point axis through VMEM and accumulates all six
+outputs in registers, so the wide activation never touches HBM:
+
+  grid = (B/tb, ceil(n/tn)); the n axis revisits the same output block
+  (TPU grids execute sequentially, so read-modify-write accumulation
+  across the j axis is sound); rows past n_valid are masked.
+
+The backward stays the existing analytic custom VJP (`_lpr_bwd`) — it
+consumes only (x, W, b, argmax, argmin, mean), never the activation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG_LARGE = -1e30
+POS_LARGE = 1e30
+
+
+def _kernel(x_ref, w_ref, b_ref,
+            cmax_ref, amax_ref, cmin_ref, amin_ref, rsum_ref, rsq_ref,
+            *, n_valid: int, tn: int):
+    j = pl.program_id(1)
+    tb, _, cin = x_ref.shape
+    c = w_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        cmax_ref[:, :] = jnp.full((tb, c), NEG_LARGE, jnp.float32)
+        amax_ref[:, :] = jnp.zeros((tb, c), jnp.int32)
+        cmin_ref[:, :] = jnp.full((tb, c), POS_LARGE, jnp.float32)
+        amin_ref[:, :] = jnp.zeros((tb, c), jnp.int32)
+        rsum_ref[:, :] = jnp.zeros((tb, c), jnp.float32)
+        rsq_ref[:, :] = jnp.zeros((tb, c), jnp.float32)
+
+    xs = x_ref[:, :, :].reshape(tb * tn, cin)
+    y = jnp.dot(xs, w_ref[:, :], preferred_element_type=jnp.float32)
+    y = y.reshape(tb, tn, c) + b_ref[0, :][None, None, :]
+
+    # mask rows past n_valid (block padding + caller's point padding)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tb, tn, c), 1) + j * tn
+    valid = rows < n_valid
+
+    ymax = jnp.where(valid, y, NEG_LARGE)
+    chunk_max = jnp.max(ymax, axis=1)
+    chunk_amax = jnp.argmax(ymax, axis=1).astype(jnp.int32) + j * tn
+    take = chunk_max > cmax_ref[:, :]
+    cmax_ref[:, :] = jnp.where(take, chunk_max, cmax_ref[:, :])
+    amax_ref[:, :] = jnp.where(take, chunk_amax, amax_ref[:, :])
+
+    ymin = jnp.where(valid, y, POS_LARGE)
+    chunk_min = jnp.min(ymin, axis=1)
+    chunk_amin = jnp.argmin(ymin, axis=1).astype(jnp.int32) + j * tn
+    take = chunk_min < cmin_ref[:, :]
+    cmin_ref[:, :] = jnp.where(take, chunk_min, cmin_ref[:, :])
+    amin_ref[:, :] = jnp.where(take, chunk_amin, amin_ref[:, :])
+
+    yz = jnp.where(valid, y, 0.0)
+    rsum_ref[:, :] = rsum_ref[:, :] + jnp.sum(yz, axis=1)
+    rsq_ref[:, :] = rsq_ref[:, :] + jnp.sum(yz * yz, axis=1)
+
+
+def supported(x: jax.Array, kernel: jax.Array) -> bool:
+    """Shape/platform gate: (B, n, Cin) @ (Cin, C) with MXU-friendly dims."""
+    if x.ndim != 3 or kernel.ndim != 2:
+        return False
+    b, _, cin = x.shape
+    c = kernel.shape[1]
+    return (
+        b % 8 == 0
+        and cin % 128 == 0
+        and c % 128 == 0
+        and jax.default_backend() != "cpu"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "tn", "interpret"))
+def pooled_tail_reductions(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    *,
+    tb: int = 8,
+    tn: int = 128,
+    interpret: bool = False,
+):
+    """All pooled-tail reductions of ``x @ w + b`` in one streaming pass.
+
+    Returns (cmax, amax, cmin, amin, rsum, rsq), each (B, C) — f32 except
+    the int32 arg indices. Rows are the ragged point axis; no padding
+    contract is imposed on the caller (block padding is masked).
+    """
+    bsz, n, cin = x.shape
+    c = w.shape[1]
+    if bsz % tb != 0:
+        raise ValueError(f"batch {bsz} not divisible by tile {tb}")
+    grid = (bsz // tb, pl.cdiv(n, tn))
+    bc = lambda i, j: (i, 0)  # noqa: E731 — revolving (tb, C) output block
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_valid=n, tn=tn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tn, cin), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((cin, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, c), bc),
+            pl.BlockSpec((tb, c), bc),
+            pl.BlockSpec((tb, c), bc),
+            pl.BlockSpec((tb, c), bc),
+            pl.BlockSpec((tb, c), bc),
+            pl.BlockSpec((tb, c), bc),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, c), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, c), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w, b.reshape(1, -1))
+    return out

@@ -83,3 +83,33 @@ def test_chain3_fallback_odd_shapes(rng):
     got = chain3_maxpool(x, w1, c1, w2, c2, w3, c3)
     assert got.shape == (6, 256)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_train_tail_reductions_interpret(rng):
+    """One-pass train-tail kernel vs the dense oracle: max/argmax,
+    min/argmin, row sums, row sums-of-squares — including ragged point
+    counts that need block-padding masks."""
+    from points2surf_tpu.ops.pallas.train_tail import pooled_tail_reductions
+
+    for b, n, cin, c in [(16, 300, 128, 256), (8, 130, 128, 128)]:
+        x = rng.randn(b, n, cin).astype(np.float32)
+        w = (rng.randn(cin, c) * 0.1).astype(np.float32)
+        bias = rng.randn(c).astype(np.float32)
+        cmax, amax, cmin, amin, rsum, rsq = (
+            np.asarray(o) for o in pooled_tail_reductions(
+                jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias),
+                interpret=True,
+            )
+        )
+        dense = (x.reshape(b * n, cin) @ w + bias).reshape(b, n, c)
+        np.testing.assert_allclose(cmax, dense.max(1), atol=2e-4)
+        np.testing.assert_allclose(cmin, dense.min(1), atol=2e-4)
+        np.testing.assert_allclose(rsum, dense.sum(1), rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(rsq, (dense * dense).sum(1),
+                                   rtol=2e-4, atol=2e-2)
+        # the VJP contract: the value AT the arg index equals the pooled
+        # value (ties may pick a different valid index; values must match)
+        bb = np.arange(b)[:, None]
+        cc = np.arange(c)[None, :]
+        np.testing.assert_allclose(dense[bb, amax, cc], cmax, atol=2e-4)
+        np.testing.assert_allclose(dense[bb, amin, cc], cmin, atol=2e-4)
