@@ -319,7 +319,12 @@ def generate_mesh(seed: int, style: str | None = None):
         else:
             raise ValueError(st)
         mesh = Mesh(np.asarray(v, np.float32), np.asarray(f)).cleaned()
-        if len(mesh.faces) < 16 or not mesh.is_watertight():
+        # thin style: a genuine plate/rod/ring marched at res 160 yields
+        # thousands of faces; a low count means marching collapsed the
+        # draw to a degenerate blob/box (observed: a 24-face box accepted
+        # as "thin" in proc_240_thin), which dilutes the family
+        min_faces = 2000 if st == "thin" else 16
+        if len(mesh.faces) < min_faces or not mesh.is_watertight():
             continue
         mesh = mesh.fixed_inversion()
         if mesh.volume <= 1e-6:
