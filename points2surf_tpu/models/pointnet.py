@@ -236,11 +236,17 @@ def _linear_pool_reductions(x, kernel, bias, dtype, need_minmax, need_stats):
 
 def _lpr_fwd(x, kernel, bias, dtype, need_minmax, need_stats):
     d = dtype or jnp.float32
+    # P2S_PALLAS_TAIL_INTERPRET=1 runs the kernel in interpret mode on
+    # any backend — test-only escape hatch so the CPU suite can exercise
+    # this exact glue (residual packing, stats assembly, sum-pool path)
+    interpret = _os.environ.get("P2S_PALLAS_TAIL_INTERPRET", "") == "1"
     if (
         d == jnp.float32
         and _os.environ.get("P2S_PALLAS_TAIL", "1") == "1"
         and jax.device_count() == 1
-        and _pallas_tail_supported(x, kernel)
+        and (interpret or _pallas_tail_supported(x, kernel))
+        and x.ndim == 3
+        and x.shape[0] % 8 == 0
     ):
         # one-pass Pallas reductions: the (B, n, C) dot output never
         # touches HBM (XLA materializes it for multi-consumer reductions
@@ -253,7 +259,7 @@ def _lpr_fwd(x, kernel, bias, dtype, need_minmax, need_stats):
 
         kmax, amax, kmin, amin, rsum, rsq = pooled_tail_reductions(
             x.astype(jnp.float32), kernel.astype(jnp.float32),
-            bias.astype(jnp.float32),
+            bias.astype(jnp.float32), interpret=interpret,
         )
         n_tot = x.shape[0] * x.shape[1]
         cmax = cmin = csum = mean = var = None

@@ -113,3 +113,42 @@ def test_train_tail_reductions_interpret(rng):
         cc = np.arange(c)[None, :]
         np.testing.assert_allclose(dense[bb, amax, cc], cmax, atol=2e-4)
         np.testing.assert_allclose(dense[bb, amin, cc], cmin, atol=2e-4)
+
+
+def test_train_tail_fwd_glue_matches_xla(rng, monkeypatch):
+    """The _lpr_fwd Pallas branch (interpret mode) must match the XLA
+    branch end-to-end through a train-mode _pooled_tail: pooled values,
+    BN statistics, AND gradients — for both sym ops."""
+    import jax
+
+    from points2surf_tpu.models import pointnet
+
+    x = jnp.asarray(rng.randn(8, 70, 128).astype(np.float32))
+    w = jnp.asarray((rng.randn(128, 128) * 0.1).astype(np.float32))
+    bias = jnp.asarray(rng.randn(128).astype(np.float32))
+
+    def run(sym):
+        def f(xx, ww, bb):
+            cmax, cmin, csum, mean, var = pointnet._linear_pool_reductions(
+                xx, ww, bb, None, sym == "max", True
+            )
+            pooled = cmax + cmin if sym == "max" else csum
+            return (
+                jnp.sum(pooled * pooled) + jnp.sum(mean) + jnp.sum(var)
+            )
+        val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(x, w, bias)
+        return val, grads
+
+    for sym in ("max", "sum"):
+        monkeypatch.delenv("P2S_PALLAS_TAIL_INTERPRET", raising=False)
+        v_xla, g_xla = run(sym)
+        monkeypatch.setenv("P2S_PALLAS_TAIL_INTERPRET", "1")
+        jax.clear_caches()  # the env gate is read at trace time
+        v_k, g_k = run(sym)
+        monkeypatch.delenv("P2S_PALLAS_TAIL_INTERPRET", raising=False)
+        jax.clear_caches()
+        np.testing.assert_allclose(float(v_k), float(v_xla), rtol=1e-4)
+        for a, b in zip(g_k, g_xla):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+            )
