@@ -240,10 +240,14 @@ def _lpr_fwd(x, kernel, bias, dtype, need_minmax, need_stats):
     # any backend — test-only escape hatch so the CPU suite can exercise
     # this exact glue (residual packing, stats assembly, sum-pool path)
     interpret = _os.environ.get("P2S_PALLAS_TAIL_INTERPRET", "") == "1"
+    # multi-device meshes need the custom_partitioning wrapper (pallas
+    # has no SPMD rule) — opt-in until validated on a real pod slice
+    multi = jax.device_count() > 1
+    sharded_ok = _os.environ.get("P2S_PALLAS_TAIL_SHARDED", "") == "1"
     if (
         d == jnp.float32
         and _os.environ.get("P2S_PALLAS_TAIL", "1") == "1"
-        and jax.device_count() == 1
+        and (not multi or sharded_ok)
         and (interpret or _pallas_tail_supported(x, kernel))
         and x.ndim == 3
         and x.shape[0] % 8 == 0
@@ -255,9 +259,13 @@ def _lpr_fwd(x, kernel, bias, dtype, need_minmax, need_stats):
         # keep the XLA path.
         from points2surf_tpu.ops.pallas.train_tail import (
             pooled_tail_reductions,
+            pooled_tail_reductions_sharded,
         )
 
-        kmax, amax, kmin, amin, rsum, rsq = pooled_tail_reductions(
+        fn = pooled_tail_reductions_sharded if multi else (
+            pooled_tail_reductions
+        )
+        kmax, amax, kmin, amin, rsum, rsq = fn(
             x.astype(jnp.float32), kernel.astype(jnp.float32),
             bias.astype(jnp.float32), interpret=interpret,
         )

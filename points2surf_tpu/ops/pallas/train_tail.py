@@ -98,7 +98,7 @@ def pooled_tail_reductions(
     w: jax.Array,
     b: jax.Array,
     *,
-    tb: int = 8,
+    tb: int | None = None,
     tn: int = 128,
     interpret: bool = False,
 ):
@@ -106,10 +106,15 @@ def pooled_tail_reductions(
 
     Returns (cmax, amax, cmin, amin, rsum, rsq), each (B, C) — f32 except
     the int32 arg indices. Rows are the ragged point axis; no padding
-    contract is imposed on the caller (block padding is masked).
+    contract is imposed on the caller (block padding is masked). ``tb``
+    defaults to the largest divisor of B up to 8 (per-shard batch sizes
+    under data parallelism are not always multiples of 8; smaller tiles
+    sublane-pad but stay correct).
     """
     bsz, n, cin = x.shape
     c = w.shape[1]
+    if tb is None:
+        tb = next(t for t in (8, 7, 6, 5, 4, 3, 2, 1) if bsz % t == 0)
     if bsz % tb != 0:
         raise ValueError(f"batch {bsz} not divisible by tile {tb}")
     grid = (bsz // tb, pl.cdiv(n, tn))
@@ -141,3 +146,60 @@ def pooled_tail_reductions(
         interpret=interpret,
     )(x, w, b.reshape(1, -1))
     return out
+
+
+def pooled_tail_reductions_sharded(
+    x: jax.Array, w: jax.Array, b: jax.Array, *, interpret: bool = False
+):
+    """Data-parallel wrapper: batch-dim SPMD partitioning for the kernel.
+
+    ``pallas_call`` has no partitioning rule, so under a multi-device
+    mesh XLA would gather the operands onto one device. This wrapper
+    registers the natural rule via ``custom_partitioning``: x and all
+    six outputs shard on the batch dimension, w/b replicate, and each
+    device runs the kernel on its batch shard (arg indices address the
+    unsharded point axis, so they are already global). Opt-in via
+    P2S_PALLAS_TAIL_SHARDED=1 (models/pointnet.py) — validated on the
+    virtual CPU mesh in interpret mode; needs a real pod-slice run
+    before becoming the multi-chip default (docs/ROADMAP.md).
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    @custom_partitioning
+    def _call(x, w, b):
+        return pooled_tail_reductions(x, w, b, interpret=interpret)
+
+    def _batch_axis(arg_infos):
+        sh = arg_infos[0].sharding
+        spec = getattr(sh, "spec", None)
+        if spec is None or len(spec) == 0:
+            return None
+        return spec[0]
+
+    def partition(mesh, arg_infos, result_infos):
+        axis = _batch_axis(arg_infos)
+        arg_shardings = (
+            NamedSharding(mesh, P(axis, None, None)),
+            NamedSharding(mesh, P(None, None)),
+            NamedSharding(mesh, P(None)),
+        )
+        out_shardings = tuple(
+            NamedSharding(mesh, P(axis, None)) for _ in range(6)
+        )
+
+        def lower_fn(xs, ws, bs):
+            return pooled_tail_reductions(xs, ws, bs, interpret=interpret)
+
+        return mesh, lower_fn, out_shardings, arg_shardings
+
+    # Shardy-style propagation rule: only the batch factor may shard;
+    # the point/contraction/channel factors must replicate (the kernel
+    # consumes full n/Cin/C per shard)
+    _call.def_partition(
+        partition,
+        sharding_rule="b n i, i j, j -> b j, b j, b j, b j, b j, b j",
+        need_replication_factors=("n", "i", "j"),
+    )
+    return _call(x, w, b)

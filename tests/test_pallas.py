@@ -118,14 +118,27 @@ def test_train_tail_reductions_interpret(rng):
 def test_train_tail_fwd_glue_matches_xla(rng, monkeypatch):
     """The _lpr_fwd Pallas branch (interpret mode) must match the XLA
     branch end-to-end through a train-mode _pooled_tail: pooled values,
-    BN statistics, AND gradients — for both sym ops."""
+    BN statistics, AND gradients — for both sym ops. The suite runs on
+    the virtual 8-device mesh, so this exercises the SHARDED
+    custom_partitioning wrapper; a counter asserts the kernel branch
+    actually ran (the gate is env-driven and read at trace time)."""
     import jax
 
     from points2surf_tpu.models import pointnet
+    from points2surf_tpu.ops.pallas import train_tail
 
     x = jnp.asarray(rng.randn(8, 70, 128).astype(np.float32))
     w = jnp.asarray((rng.randn(128, 128) * 0.1).astype(np.float32))
     bias = jnp.asarray(rng.randn(128).astype(np.float32))
+
+    calls = {"n": 0}
+    orig = train_tail.pooled_tail_reductions
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(train_tail, "pooled_tail_reductions", counting)
 
     def run(sym):
         def f(xx, ww, bb):
@@ -141,14 +154,56 @@ def test_train_tail_fwd_glue_matches_xla(rng, monkeypatch):
 
     for sym in ("max", "sum"):
         monkeypatch.delenv("P2S_PALLAS_TAIL_INTERPRET", raising=False)
+        monkeypatch.delenv("P2S_PALLAS_TAIL_SHARDED", raising=False)
         v_xla, g_xla = run(sym)
+        assert calls["n"] == 0  # gate off: XLA branch
         monkeypatch.setenv("P2S_PALLAS_TAIL_INTERPRET", "1")
+        monkeypatch.setenv("P2S_PALLAS_TAIL_SHARDED", "1")
         jax.clear_caches()  # the env gate is read at trace time
         v_k, g_k = run(sym)
+        assert calls["n"] > 0, "kernel branch did not run"
+        calls["n"] = 0
         monkeypatch.delenv("P2S_PALLAS_TAIL_INTERPRET", raising=False)
+        monkeypatch.delenv("P2S_PALLAS_TAIL_SHARDED", raising=False)
         jax.clear_caches()
         np.testing.assert_allclose(float(v_k), float(v_xla), rtol=1e-4)
         for a, b in zip(g_k, g_xla):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
             )
+
+
+def test_train_tail_sharded_explicit_mesh(rng, monkeypatch):
+    """Kernel under an explicit 8-device data-parallel mesh: x sharded on
+    batch, outputs batch-sharded, values match the dense oracle."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from points2surf_tpu.ops.pallas.train_tail import (
+        pooled_tail_reductions_sharded,
+    )
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("data",))
+    b, n, cin, c = 16, 70, 128, 128
+    x = rng.randn(b, n, cin).astype(np.float32)
+    w = (rng.randn(cin, c) * 0.1).astype(np.float32)
+    bias = rng.randn(c).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    ws = jax.device_put(jnp.asarray(w), NamedSharding(mesh, P()))
+    bs = jax.device_put(jnp.asarray(bias), NamedSharding(mesh, P()))
+
+    out = jax.jit(
+        lambda a, b_, c_: pooled_tail_reductions_sharded(
+            a, b_, c_, interpret=True
+        )
+    )(xs, ws, bs)
+    cmax, amax, cmin, amin, rsum, rsq = (np.asarray(o) for o in out)
+    dense = (x.reshape(b * n, cin) @ w + bias).reshape(b, n, c)
+    np.testing.assert_allclose(cmax, dense.max(1), atol=2e-4)
+    np.testing.assert_allclose(cmin, dense.min(1), atol=2e-4)
+    np.testing.assert_allclose(rsum, dense.sum(1), rtol=2e-4, atol=2e-3)
+    # outputs stay batch-sharded (no gather onto one device)
+    spec = out[0].sharding.spec
+    assert len(spec) == 0 or spec[0] in ("data", None)
