@@ -59,7 +59,7 @@ def _write_debug_volume(query_pts_ms, query_dist_ms, volume_out_file):
 
 
 def _extract_and_write(vol: np.ndarray, mc_out_file: str,
-                       grid_res: int) -> bool:
+                       grid_res: int, query_pts_ms=None) -> bool:
     if vol.min() < 0.0 < vol.max():
         t0 = time.time()
         v, f = marching_cubes.extract_isosurface(vol, 0.0)
@@ -69,6 +69,26 @@ def _extract_and_write(vol: np.ndarray, mc_out_file: str,
             return False
         # voxel-index -> model space (reference sdf.py:224)
         v = (((v + 0.5) / float(grid_res)) - 0.5) * 2.0
+        if query_pts_ms is not None and len(query_pts_ms):
+            # flood diagnostic: near-surface sign errors can make sign
+            # propagation flood "inside" far past the observed cloud
+            # (docs/VALIDATION.md round 3 — Chamfer blowups of 10-20x).
+            # The mesh is written either way (reference behavior); the
+            # warning makes the failure visible at eval time instead of
+            # in the comparison CSV.
+            margin = 8.0 / grid_res
+            lo = query_pts_ms.min(0) - margin
+            hi = query_pts_ms.max(0) + margin
+            overflow = float(
+                np.maximum(lo - v.min(0), v.max(0) - hi).max()
+            )
+            if overflow > 0.0:
+                print(
+                    f"WARNING: reconstruction extends {overflow:.3f} "
+                    f"(model units) beyond the queried volume for "
+                    f"{mc_out_file} — likely sign-propagation flooding "
+                    "from near-surface sign errors"
+                )
         file_utils.make_dir_for_file(mc_out_file)
         mesh_io.write_ply(mc_out_file, v, f)
         return True
@@ -107,7 +127,7 @@ def implicit_surface_to_mesh(
     print(f"Sign propagation took: {time.time() - t0}")
 
     _write_debug_volume(query_pts_ms, query_dist_ms, volume_out_file)
-    return _extract_and_write(vol, mc_out_file, grid_res)
+    return _extract_and_write(vol, mc_out_file, grid_res, query_pts_ms)
 
 
 def implicit_surface_to_mesh_file(
@@ -195,7 +215,7 @@ def implicit_surface_to_mesh_directory(
             write_futures.append(
                 writer.submit(_write_debug_volume, pts, dist, vol_out)
             )
-            _extract_and_write(vol, mesh_out, grid_res)
+            _extract_and_write(vol, mesh_out, grid_res, pts)
         pending = nxt
     for wf in write_futures:
         wf.result()

@@ -106,3 +106,25 @@ def test_directory_driver_incremental_skip(rec_dirs, capsys):
     assert "Isosurface extraction" not in capsys.readouterr().out
     for f, m in mtimes.items():
         assert os.path.getmtime(os.path.join(mesh_dir, f)) == m
+
+
+def test_flood_warning_on_overflowing_reconstruction(tmp_path, capsys):
+    """A reconstruction extending far beyond the queried volume prints
+    the flood diagnostic (docs/VALIDATION.md round 3); a contained one
+    does not."""
+    import numpy as np
+
+    from points2surf_tpu.infer.meshing import _extract_and_write
+
+    res = 32
+    vol = -np.ones((res, res, res), np.float32)
+    vol[4:28, 4:28, 4:28] = 1.0  # big inside blob spanning most of grid
+    out = str(tmp_path / "m.ply")
+    # queried region is a tiny corner -> blob overflows it
+    q = np.array([[-0.9, -0.9, -0.9], [-0.8, -0.8, -0.8]], np.float32)
+    assert _extract_and_write(vol, out, res, q)
+    assert "sign-propagation flooding" in capsys.readouterr().out
+    # queried region covers the blob -> no warning
+    q2 = np.array([[-0.95, -0.95, -0.95], [0.95, 0.95, 0.95]], np.float32)
+    assert _extract_and_write(vol, str(tmp_path / "m2.ply"), res, q2)
+    assert "flooding" not in capsys.readouterr().out
