@@ -55,7 +55,7 @@ def _batch(rng, b=6, p=24, s=32):
 
 
 @pytest.mark.parametrize(
-    "variant", ["vanilla", "shared", "single", "no_stn"]
+    "variant", ["vanilla", "shared", "single", "no_stn", "sum_pool"]
 )
 def test_forward_parity_with_reference(rng, variant):
     import torch
@@ -73,6 +73,8 @@ def test_forward_parity_with_reference(rng, variant):
         kw = dict(single_transformer=1)
     elif variant == "no_stn":
         kw = dict(use_point_stn=False)
+    elif variant == "sum_pool":
+        kw = dict(sym_op="sum")
     tm, cfg = _torch_model(**kw)
     tm.eval()
 
