@@ -70,3 +70,15 @@ def test_flag_matrix_vanilla_vs_max():
     assert mx.use_point_stn == 0
     assert mx.uniform_subsample == 1
     assert mx.scheduler_steps == [100, 200]
+
+
+def test_train_dtype_default_is_float32():
+    """Production default must stay float32: bf16 training fails the
+    reconstruction-grade sign gates (docs/VALIDATION.md round 3). The
+    precision-anneal flag defaults to auto (-1) and only activates when
+    bfloat16 is explicitly requested."""
+    from points2surf_tpu.cli.train_args import parse_arguments
+
+    opt = parse_arguments(["--indir", "x", "--outdir", "y"])
+    assert opt.train_dtype == "float32"
+    assert opt.f32_finetune_epochs == -1
