@@ -361,7 +361,26 @@ def _lpr_bwd(dtype, need_minmax, need_stats, res, cot):
             + jnp.where(iota_n == amin[:, None, :], gmin[:, None, :], 0.0)
         )
         grad_x = grad_x + jnp.einsum("bnj,ij->bni", a_mask, k32)
-        grad_w = grad_w + jnp.einsum("bni,bnj->ij", x32, a_mask)
+        if _os.environ.get("P2S_BWD_GATHER_W", "") == "1":
+            # A/B variant: a_mask feeds TWO einsums (grad_x above and
+            # grad_w), which may force XLA to materialize the (B, n, C)
+            # mask; this form computes grad_w from gathered argmax/argmin
+            # rows instead — (B, C, I) gathers (~0.5 GB at flagship
+            # shapes) replacing a (B, n, C) contraction operand
+            xg_max = jnp.take_along_axis(
+                x32[:, :, None, :],
+                amax[:, None, :, None].astype(jnp.int32), axis=1,
+            )[:, 0]  # (B, C, I)
+            xg_min = jnp.take_along_axis(
+                x32[:, :, None, :],
+                amin[:, None, :, None].astype(jnp.int32), axis=1,
+            )[:, 0]
+            grad_w = grad_w + (
+                jnp.einsum("bji,bj->ij", xg_max, gmax)
+                + jnp.einsum("bji,bj->ij", xg_min, gmin)
+            )
+        else:
+            grad_w = grad_w + jnp.einsum("bni,bnj->ij", x32, a_mask)
         grad_b = grad_b + jnp.sum(gmax, axis=0) + jnp.sum(gmin, axis=0)
     else:
         gsum = _z(gsum, (b_sz, c_out))
