@@ -456,6 +456,74 @@ def _pooled_tail(x, act_relu, sym_op, dtype, train, conv_mod, bn_mod):
     return pooled.astype(d)
 
 
+# ------------------------------------------------------- covariance-form BN
+#
+# The INTERIOR per-point layers (`linear -> batchnorm(train) -> relu` over
+# (B, n, C)) are the other HBM-traffic hotspot: evaluated literally, XLA
+# writes the (B, n, C) linear output, re-reads it for the BN statistics,
+# re-reads it again for normalize+relu, and writes the result — five
+# tensor passes per layer (plus the mirrored traffic in the backward).
+# But the batch statistics of ``y = x @ W + b`` are an analytic function
+# of much smaller moments of x:
+#
+#   mean(y)_j = mean(x) @ W[:, j] + b_j
+#   var(y)_j  = W[:, j]^T Cov(x) W[:, j]
+#
+# with Cov(x) the (Cin, Cin) covariance of the point rows — one small
+# Gram matmul (MXU, one streaming read of x). The whole layer then
+# collapses to a SINGLE matmul with effective weights
+#
+#   z = relu(x @ (W * g/sigma) + (beta + (b - mean_y) * g/sigma))
+#
+# i.e. read x twice + write z, instead of five passes over the wider y.
+# The function of (x, W, b, gamma, beta) is mathematically identical to
+# the literal stack, so autodiff gives the exact same gradients (the
+# statistics' gradient paths flow through the Gram/mean terms as small
+# matmuls instead of BN's wide reductions). The Gram/mean contractions
+# use Precision.HIGHEST so the variance survives the E[x^2] - E[x]^2
+# cancellation (same formulation flax's BatchNorm itself uses).
+#
+# A/B switch: 0 = literal PLinear+BN stack, 1 = covariance form for
+# train-mode f32 per-point layers (eval and bf16 keep the literal path —
+# eval BN is a known affine XLA already fuses into the matmul epilogue).
+_COVBN = int(_os.environ.get("P2S_COVBN", "1"))
+
+
+def _conv_bn_relu(x, train, features, dtype, conv_name, bn_name):
+    """Pointwise linear -> BatchNorm -> ReLU, parameter-compatible with the
+    ``nn.relu(BN(name=bn)(PLinear(features, name=conv)(x), train))`` stack
+    (reference model.py per-point conv+bn pairs). Must be called from a
+    ``@nn.compact`` scope; owns params under ``conv_name``/``bn_name``."""
+    d = dtype
+    if not (_COVBN and train and x.ndim == 3 and d in (None, jnp.float32)):
+        return nn.relu(
+            BN(d, name=bn_name)(PLinear(features, d, name=conv_name)(x),
+                                train)
+        )
+    kernel, bias = _TailDenseOwner(features, x.shape[-1], name=conv_name)()
+    hi = jax.lax.Precision.HIGHEST
+    x32 = x.astype(jnp.float32)
+    k32 = kernel.astype(jnp.float32)
+    b32 = bias.astype(jnp.float32)
+    n_tot = x.shape[0] * x.shape[1]
+    xsum = jnp.sum(x32, axis=(0, 1))
+    xm = xsum / n_tot
+    gram = jnp.einsum("bni,bnk->ik", x32, x32, precision=hi) / n_tot
+    cov = gram - xm[:, None] * xm[None, :]
+    mean_y = xm @ k32 + b32
+    var_y = jnp.maximum(
+        jnp.einsum("ic,ic->c", k32, cov @ k32, precision=hi), 0.0
+    )
+    scale, bn_bias, _, _ = _TailBNOwner(features, name=bn_name)(
+        mean_y, var_y
+    )
+    inv = scale.astype(jnp.float32) * jax.lax.rsqrt(var_y + 1e-5)
+    w_eff = k32 * inv[None, :]
+    b_eff = bn_bias.astype(jnp.float32) + (b32 - mean_y) * inv
+    z = jnp.einsum("bni,ij->bnj", x32, w_eff) + b_eff[None, None, :]
+    return nn.relu(z)
+
+
 class _STNTrunk(nn.Module):
     """Shared conv trunk + FC head of STN/QSTN (model.py:41-64, 100-122)."""
 
@@ -467,8 +535,8 @@ class _STNTrunk(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         d = self.dtype
-        h = nn.relu(BN(d, name="bn1")(PLinear(64, d, name="conv1")(x), train))
-        h = nn.relu(BN(d, name="bn2")(PLinear(128, d, name="conv2")(h), train))
+        h = _conv_bn_relu(x, train, 64, d, "conv1", "bn1")
+        h = _conv_bn_relu(h, train, 128, d, "conv2", "bn2")
         # symmetric max over points; per scale segment when multi-scale
         # (the reference STN pools with max regardless of sym_op,
         # model.py:25,48-55). Single-scale uses the fused tail (affine
@@ -580,8 +648,8 @@ class PointNetFeat(nn.Module):
                 geometry.transform_points(x, trans), "p2s_rot_pts"
             )
 
-        h = nn.relu(BN(d, name="bn0a")(PLinear(64, d, name="conv0a")(x), train))
-        h = nn.relu(BN(d, name="bn0b")(PLinear(64, d, name="conv0b")(h), train))
+        h = _conv_bn_relu(x, train, 64, d, "conv0a", "bn0a")
+        h = _conv_bn_relu(h, train, 64, d, "conv0b", "bn0b")
 
         trans2 = None
         if self.use_feat_stn:
@@ -591,8 +659,8 @@ class PointNetFeat(nn.Module):
                 jnp.einsum("bij,bnj->bni", trans2, h), "p2s_feat_rot"
             )
 
-        h = nn.relu(BN(d, name="bn1")(PLinear(64, d, name="conv1")(h), train))
-        h = nn.relu(BN(d, name="bn2")(PLinear(128, d, name="conv2")(h), train))
+        h = _conv_bn_relu(h, train, 64, d, "conv1", "bn1")
+        h = _conv_bn_relu(h, train, 128, d, "conv2", "bn2")
 
         if self.sym_op not in ("max", "sum"):
             raise ValueError(f"Unsupported symmetric operation: {self.sym_op}")

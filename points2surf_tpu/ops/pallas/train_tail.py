@@ -37,7 +37,7 @@ POS_LARGE = 1e30
 
 def _kernel(x_ref, w_ref, b_ref,
             cmax_ref, amax_ref, cmin_ref, amin_ref, rsum_ref, rsq_ref,
-            *, n_valid: int, tn: int):
+            *, n_valid: int, tn: int, bf16_operands: bool):
     j = pl.program_id(1)
     tb, _, cin = x_ref.shape
     c = w_ref.shape[1]
@@ -52,7 +52,16 @@ def _kernel(x_ref, w_ref, b_ref,
         rsq_ref[:, :] = jnp.zeros((tb, c), jnp.float32)
 
     xs = x_ref[:, :, :].reshape(tb * tn, cin)
-    y = jnp.dot(xs, w_ref[:, :], preferred_element_type=jnp.float32)
+    ws = w_ref[:, :]
+    if bf16_operands:
+        # match XLA's DEFAULT matmul precision (bf16 operand rounding,
+        # f32 accumulation) — the numerics class of the literal layer
+        # stack and the XLA fused-tail fallback this kernel replaces. A
+        # full-f32 MXU pass costs ~4x the bf16 rate and was the kernel's
+        # dominant cost (docs/PERFORMANCE.md round 3, bf16-operand A/B).
+        xs = xs.astype(jnp.bfloat16)
+        ws = ws.astype(jnp.bfloat16)
+    y = jnp.dot(xs, ws, preferred_element_type=jnp.float32)
     y = y.reshape(tb, tn, c) + b_ref[0, :][None, None, :]
 
     # mask rows past n_valid (block padding + caller's point padding)
@@ -92,7 +101,6 @@ def supported(x: jax.Array, kernel: jax.Array) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "tn", "interpret"))
 def pooled_tail_reductions(
     x: jax.Array,
     w: jax.Array,
@@ -101,6 +109,35 @@ def pooled_tail_reductions(
     tb: int | None = None,
     tn: int = 128,
     interpret: bool = False,
+    bf16_operands: bool | None = None,
+):
+    """Resolve the matmul-precision gate OUTSIDE the jitted body so an env
+    flip between calls retraces instead of reusing a stale cache entry."""
+    import os
+
+    if bf16_operands is None:
+        bf16_operands = (
+            os.environ.get("P2S_PALLAS_TAIL_PREC", "default") != "highest"
+        )
+    return _pooled_tail_reductions(
+        x, w, b, tb=tb, tn=tn, interpret=interpret,
+        bf16_operands=bool(bf16_operands),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tb", "tn", "interpret", "bf16_operands"),
+)
+def _pooled_tail_reductions(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    *,
+    tb: int | None = None,
+    tn: int = 128,
+    interpret: bool = False,
+    bf16_operands: bool = True,
 ):
     """All pooled-tail reductions of ``x @ w + b`` in one streaming pass.
 
@@ -120,7 +157,8 @@ def pooled_tail_reductions(
     grid = (bsz // tb, pl.cdiv(n, tn))
     bc = lambda i, j: (i, 0)  # noqa: E731 — revolving (tb, C) output block
     out = pl.pallas_call(
-        functools.partial(_kernel, n_valid=n, tn=tn),
+        functools.partial(_kernel, n_valid=n, tn=tn,
+                          bf16_operands=bf16_operands),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, tn, cin), lambda i, j: (i, j, 0)),

@@ -234,3 +234,85 @@ def test_fused_tail_sum_pool_equivalence(rng, monkeypatch, level):
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-4)
     for a, b in zip(jax.tree_util.tree_leaves(m1), jax.tree_util.tree_leaves(m2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_covbn_equivalence(rng, monkeypatch):
+    """The covariance-form interior layer (linear -> train-BN -> relu
+    collapsed to one matmul via mean(y) = mean(x) @ W + b and
+    var(y)_j = w_j^T Cov(x) w_j) must be parameter-compatible and
+    numerically equivalent to the literal PLinear+BN stack: identical
+    variable tree/init, matching train forward, grads, and batch-stats
+    updates, and an untouched (literal) eval path."""
+    import flax
+    import points2surf_tpu.models.pointnet as pn
+
+    x = jnp.asarray(rng.randn(6, 50, 64).astype(np.float32) * 0.7 + 0.3)
+
+    def run(covbn):
+        monkeypatch.setattr(pn, "_COVBN", covbn)
+        m = pn._STNTrunk(net_size_max=128, out_features=9)
+        v = m.init(jax.random.key(0), x, True)
+
+        def f(params):
+            out, mut = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out**2), (out, mut)
+
+        (_, (out, mut)), g = jax.value_and_grad(f, has_aux=True)(v["params"])
+        ev = m.apply(v, x, False)
+        return v, out, mut, g, ev
+
+    v1, o1, m1, g1, e1 = run(0)
+    v2, o2, m2, g2, e2 = run(1)
+
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(v1), jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(m1), jax.tree_util.tree_leaves(m2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    f1 = flax.traverse_util.flatten_dict(g1)
+    f2 = flax.traverse_util.flatten_dict(g2)
+    for k in f1:
+        np.testing.assert_allclose(
+            np.asarray(f1[k]), np.asarray(f2[k]), atol=5e-4,
+            err_msg="/".join(k),
+        )
+
+
+def test_covbn_full_model_train_step(rng, monkeypatch):
+    """Full-model smoke: a train-mode forward/backward through
+    PointsToSurfModel with the covariance-form layers stays finite and
+    close to the literal stack (stacked STNs amplify reassociation noise,
+    so the bound here is loose; the tight bound lives in
+    test_covbn_equivalence)."""
+    import points2surf_tpu.models.pointnet as pn
+
+    batch = _batch(rng, b=8, p=24, s=32)
+
+    def run(covbn):
+        monkeypatch.setattr(pn, "_COVBN", covbn)
+        m = PointsToSurfModel(net_size_max=128, output_dim=2,
+                              use_point_stn=True, use_feat_stn=True,
+                              shared_transformation=True)
+        v = m.init(jax.random.key(0), batch, True)
+
+        def f(params):
+            out, _ = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                batch, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out**2)
+
+        loss, g = jax.value_and_grad(f)(v["params"])
+        gn = jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(g)))
+        return float(loss), float(gn)
+
+    l1, n1 = run(0)
+    l2, n2 = run(1)
+    assert np.isfinite(l2) and np.isfinite(n2)
+    np.testing.assert_allclose(l2, l1, rtol=1e-3)
+    np.testing.assert_allclose(n2, n1, rtol=1e-2)

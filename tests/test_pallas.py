@@ -98,7 +98,7 @@ def test_train_tail_reductions_interpret(rng):
         cmax, amax, cmin, amin, rsum, rsq = (
             np.asarray(o) for o in pooled_tail_reductions(
                 jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias),
-                interpret=True,
+                interpret=True, bf16_operands=False,
             )
         )
         dense = (x.reshape(b * n, cin) @ w + bias).reshape(b, n, c)
@@ -113,6 +113,32 @@ def test_train_tail_reductions_interpret(rng):
         cc = np.arange(c)[None, :]
         np.testing.assert_allclose(dense[bb, amax, cc], cmax, atol=2e-4)
         np.testing.assert_allclose(dense[bb, amin, cc], cmin, atol=2e-4)
+
+
+def test_train_tail_default_precision_oracle(rng):
+    """The production default rounds matmul OPERANDS to bf16 with f32
+    accumulation (XLA's default precision class — what the literal layer
+    stack uses on TPU). Check against an operand-rounded dense oracle."""
+    from points2surf_tpu.ops.pallas.train_tail import pooled_tail_reductions
+
+    b, n, cin, c = 8, 130, 128, 128
+    x = rng.randn(b, n, cin).astype(np.float32)
+    w = (rng.randn(cin, c) * 0.1).astype(np.float32)
+    bias = rng.randn(c).astype(np.float32)
+    cmax, amax, cmin, amin, rsum, rsq = (
+        np.asarray(o) for o in pooled_tail_reductions(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias),
+            interpret=True, bf16_operands=True,
+        )
+    )
+    xr = np.asarray(jnp.asarray(x).astype(jnp.bfloat16)).astype(np.float32)
+    wr = np.asarray(jnp.asarray(w).astype(jnp.bfloat16)).astype(np.float32)
+    dense = (xr.reshape(b * n, cin) @ wr + bias).reshape(b, n, c)
+    np.testing.assert_allclose(cmax, dense.max(1), atol=1e-5)
+    np.testing.assert_allclose(cmin, dense.min(1), atol=1e-5)
+    np.testing.assert_allclose(rsum, dense.sum(1), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(rsq, (dense * dense).sum(1),
+                               rtol=1e-5, atol=1e-2)
 
 
 def test_train_tail_fwd_glue_matches_xla(rng, monkeypatch):
@@ -159,12 +185,17 @@ def test_train_tail_fwd_glue_matches_xla(rng, monkeypatch):
         assert calls["n"] == 0  # gate off: XLA branch
         monkeypatch.setenv("P2S_PALLAS_TAIL_INTERPRET", "1")
         monkeypatch.setenv("P2S_PALLAS_TAIL_SHARDED", "1")
+        # CPU XLA does NOT round operands to bf16, so compare against the
+        # kernel's exact-f32 mode (the default bf16-operand mode has its
+        # own oracle test above)
+        monkeypatch.setenv("P2S_PALLAS_TAIL_PREC", "highest")
         jax.clear_caches()  # the env gate is read at trace time
         v_k, g_k = run(sym)
         assert calls["n"] > 0, "kernel branch did not run"
         calls["n"] = 0
         monkeypatch.delenv("P2S_PALLAS_TAIL_INTERPRET", raising=False)
         monkeypatch.delenv("P2S_PALLAS_TAIL_SHARDED", raising=False)
+        monkeypatch.delenv("P2S_PALLAS_TAIL_PREC", raising=False)
         jax.clear_caches()
         np.testing.assert_allclose(float(v_k), float(v_xla), rtol=1e-4)
         for a, b in zip(g_k, g_xla):
@@ -177,6 +208,9 @@ def test_train_tail_sharded_explicit_mesh(rng, monkeypatch):
     """Kernel under an explicit 8-device data-parallel mesh: x sharded on
     batch, outputs batch-sharded, values match the dense oracle."""
     import jax
+
+    monkeypatch.setenv("P2S_PALLAS_TAIL_PREC", "highest")
+    jax.clear_caches()
     from jax.sharding import Mesh, NamedSharding
     from jax.sharding import PartitionSpec as P
 
