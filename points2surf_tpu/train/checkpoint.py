@@ -2,10 +2,11 @@
 
 Improves on the reference, which persists only the model state_dict and
 loses optimizer/scheduler state across --refine restarts
-(source/points_to_surf_train.py:511-517, SURVEY §5). Format: a msgpack blob
-(flax.serialization) holding the whole train state, plus a JSON sidecar for
-the config namespace (the reference pickles the argparse namespace into
-``*_params.pth``; ours is ``*_params.json``).
+(source/points_to_surf_train.py:511-517, SURVEY §5). Format: a flat
+path-keyed ``.npz`` (tree paths as archive keys, see ``save_state``) holding
+the whole train state, plus a JSON sidecar for the config namespace (the
+reference pickles the argparse namespace into ``*_params.pth``; ours is
+``*_params.json``).
 """
 
 from __future__ import annotations
