@@ -34,6 +34,12 @@ from jax.experimental import pallas as pl
 NEG_LARGE = -1e30
 POS_LARGE = 1e30
 
+# Introspection for artifact-level proofs (__graft_entry__.dryrun_multichip):
+# partition() appends the resolved batch-axis name each time GSPMD invokes
+# the custom_partitioning rule — i.e. each time the SHARDED kernel path is
+# actually lowered per-shard rather than falling back to XLA.
+PARTITION_AXES_SEEN: list = []
+
 
 def _kernel(x_ref, w_ref, b_ref,
             cmax_ref, amax_ref, cmin_ref, amin_ref, rsum_ref, rsq_ref,
@@ -218,6 +224,7 @@ def pooled_tail_reductions_sharded(
 
     def partition(mesh, arg_infos, result_infos):
         axis = _batch_axis(arg_infos)
+        PARTITION_AXES_SEEN.append(axis)
         arg_shardings = (
             NamedSharding(mesh, P(axis, None, None)),
             NamedSharding(mesh, P(None, None)),
