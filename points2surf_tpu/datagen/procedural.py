@@ -27,7 +27,7 @@ import os
 
 import numpy as np
 
-from points2surf_tpu.ops.marching_cubes import marching_tetrahedra
+from points2surf_tpu.ops.marching_cubes import extract_isosurface
 from points2surf_tpu.utils import mesh_io
 from points2surf_tpu.utils.mesh import Mesh
 
@@ -288,7 +288,10 @@ def _mesh_from_sdf(sdf, res=72):
     vol[[0, -1], :, :] = -1.0
     vol[:, [0, -1], :] = -1.0
     vol[:, :, [0, -1]] = -1.0
-    v, f = marching_tetrahedra(vol, 0.0)
+    # native C++ kernel when built (~8x over the numpy path) — the thin
+    # style marches at res 160 (4.1M voxels) and dominates datagen's
+    # base-mesh stage without it
+    v, f = extract_isosurface(vol, 0.0)
     if len(v) == 0:
         return None
     v = v / (res - 1) * 2.0 - 1.0
@@ -342,10 +345,12 @@ def make_procedural_meshes(out_dir: str, n: int, seed: int = 0,
     names = []
     for i in range(n):
         style = styles[i % len(styles)] if styles else None
-        mesh = generate_mesh(seed + i, style)
         name = f"proc_{seed + i:05d}"
-        mesh_io.write_ply(
-            os.path.join(mesh_dir, name + ".ply"), mesh.vertices, mesh.faces
-        )
+        out_file = os.path.join(mesh_dir, name + ".ply")
+        # meshes are deterministic in (seed+i, style): an existing file is
+        # identical to what we would regenerate, so large runs resume
+        if not os.path.isfile(out_file):
+            mesh = generate_mesh(seed + i, style)
+            mesh_io.write_ply(out_file, mesh.vertices, mesh.faces)
         names.append(name)
     return names

@@ -20,11 +20,17 @@ from points2surf_tpu.utils import file_utils, mesh_io
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid_res", "sigma", "certainty_threshold")
+    jax.jit,
+    static_argnames=("grid_res", "sigma", "certainty_threshold",
+                     "seed_filter"),
 )
 def _build_volume(query_pts, query_dist, n_valid, grid_res, sigma,
-                  certainty_threshold):
+                  certainty_threshold, seed_filter=0):
     vol = voxel.splat_to_volume(query_pts, query_dist, n_valid, grid_res)
+    if seed_filter:
+        # flood containment (experimental): drop isolated wrong-sign seeds
+        # before propagation (ops/voxel.filter_seed_signs)
+        vol = voxel.filter_seed_signs(vol, 3, seed_filter)
     vol = voxel.propagate_sign(vol, sigma, certainty_threshold)
     return jnp.clip(vol, -1.0, 1.0)
 

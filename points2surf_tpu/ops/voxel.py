@@ -194,6 +194,29 @@ def splat_to_volume(
     return vol.at[ids[:, 0], ids[:, 1], ids[:, 2]].add(v)
 
 
+@functools.partial(jax.jit, static_argnames=("size", "threshold"))
+def filter_seed_signs(
+    vol: jax.Array, size: int = 3, threshold: int = 4
+) -> jax.Array:
+    """Zero out seed voxels whose sign disagrees with the local seed majority.
+
+    Flood-containment pre-pass for :func:`propagate_sign`: the round-3
+    failure analysis (docs/VALIDATION.md) showed that a handful of
+    wrong-sign predictions in the near-surface band open "channels" through
+    which the iterative sign propagation floods the whole volume — the
+    reference shares the propagation semantics (sdf.py:114-178) and the
+    cliff. A seed whose sign is opposed by at least ``threshold`` net
+    neighboring seeds (in a ``size``^3 box, excluding itself) is reset to
+    unknown (0), so propagation fills it from its (locally consistent)
+    surroundings instead of it seeding a flood. Voxels at the true surface
+    see both signs in-balance and are untouched for any threshold >= 2.
+    """
+    sign0 = jnp.sign(vol)
+    others = _box_sum_int(sign0, size) - sign0
+    bad = (sign0 * others) <= -float(threshold)
+    return jnp.where(bad, 0.0, vol)
+
+
 @functools.partial(jax.jit, static_argnames=("sigma", "certainty_threshold"))
 def propagate_sign(
     vol: jax.Array, sigma: int = 5, certainty_threshold: int = 13

@@ -3,6 +3,7 @@
 Measures the fused train step (extraction + fwd/bwd + SGD) exactly like
 bench.bench_train, with env switches for A/B variants:
 
+  P2S_PROBE_CLOUD   path to a .xyz.npy cloud (default: abc_minimal shape)
   P2S_PROBE_BATCH   batch size (default 1000)
   P2S_PROBE_ITERS   timed iterations (default 10)
   P2S_PROBE_DTYPE   '' | 'bf16'   activation dtype
@@ -42,7 +43,7 @@ def main():
     fuse_extract = os.environ.get("P2S_PROBE_EXTRACT", "1") == "1"
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cloud_file = os.path.join(
+    cloud_file = os.environ.get("P2S_PROBE_CLOUD") or os.path.join(
         root, "datasets/abc_minimal/04_pts",
         "00011084_fddd53ce45f640f3ab922328_trimesh_019.xyz.npy",
     )

@@ -154,3 +154,23 @@ def test_box_sum_int_large_kernel_fallback(rng):
         vol, np.ones((17,) * 3, np.float32), mode="nearest"
     )
     np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+def test_filter_seed_signs_drops_isolated_wrong_seed(rng):
+    """A lone wrong-sign seed inside a locally consistent band is reset to
+    unknown; consistent seeds and genuine two-sided surface bands are kept."""
+    res = 16
+    vol = np.zeros((res, res, res), np.float32)
+    # consistent positive slab of seeds
+    vol[4:10, 4:10, 4] = 0.3
+    # one wrong-sign seed in the middle of the slab
+    vol[7, 7, 4] = -0.3
+    got = np.asarray(voxel.filter_seed_signs(jnp.asarray(vol), 3, 4))
+    assert got[7, 7, 4] == 0.0  # outlier dropped
+    assert got[5, 5, 4] == np.float32(0.3)  # consistent seeds kept
+    # a genuine surface crossing: +/- planes adjacent -> both sides kept
+    vol2 = np.zeros((res, res, res), np.float32)
+    vol2[:, :, 7] = 0.2
+    vol2[:, :, 8] = -0.2
+    got2 = np.asarray(voxel.filter_seed_signs(jnp.asarray(vol2), 3, 4))
+    np.testing.assert_array_equal(got2, vol2)
