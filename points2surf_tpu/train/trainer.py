@@ -319,9 +319,23 @@ class Trainer:
         every ``--debug_interval`` steps (the reference prints at the same
         cadence but syncs every step implicitly; skipping the off-interval
         TensorBoard points buys pipelined steps in between).
+
+        All scalars are packed into ONE device array before fetching: each
+        separate ``float(x)``/``np.asarray(x)`` costs a full tunnel
+        round-trip (~27 ms), and the 6-7 per-log fetches of the naive form
+        measured +155 ms/batch at debug_interval=1 (the r4gate runs'
+        274 ms/batch vs the 119 ms step, docs/PERFORMANCE.md round 4).
         """
         opt = self.opt
-        loss_np = np.asarray(loss_list)
+        mkeys = tuple(sorted(metrics)) if metrics else ()
+        flat = jnp.concatenate(
+            [jnp.asarray(loss_list).reshape(-1)]
+            + ([jnp.stack([metrics[k] for k in mkeys])] if mkeys else [])
+        )
+        flat_np = np.asarray(flat)  # one fetch for loss components + metrics
+        n_loss = flat_np.shape[0] - len(mkeys)
+        loss_np = flat_np[:n_loss]
+        metrics = {k: flat_np[n_loss + i] for i, k in enumerate(mkeys)}
         loss_sum = float(loss_np.sum())
         current_step = (epoch + fraction_done) * num_batch * opt.batchSize
         w = self.log_writer
