@@ -279,11 +279,27 @@ def _hull_mesh(rng):
 # ------------------------------------------------------------ driver ----
 
 
+_GRID_CACHE: dict = {}
+
+
 def _mesh_from_sdf(sdf, res=72):
-    lin = np.linspace(-1.0, 1.0, res, dtype=np.float32)
-    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
-    grid = np.stack([x, y, z], axis=-1).reshape(-1, 3)
-    vol = sdf(grid.astype(np.float64)).astype(np.float32).reshape(res, res, res)
+    # grid construction is ~2s at res 160 and identical across attempts;
+    # cache it, and evaluate the SDF in float32 chunks — the zoo's
+    # primitives are numerically trivial (O(1) coordinates, features
+    # >= 0.02 thick), and whole-volume float64 evaluation allocates
+    # dozens of 100 MB temporaries per retry attempt (measured: the
+    # generator spent 75% of its time in the allocator at res 160)
+    grid = _GRID_CACHE.get(res)
+    if grid is None:
+        lin = np.linspace(-1.0, 1.0, res, dtype=np.float32)
+        x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+        grid = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+        _GRID_CACHE[res] = grid
+    vol = np.empty(grid.shape[0], np.float32)
+    step = 1 << 19
+    for s in range(0, grid.shape[0], step):
+        vol[s : s + step] = sdf(grid[s : s + step])
+    vol = vol.reshape(res, res, res)
     # force the boundary outside so the isosurface closes inside the grid
     vol[[0, -1], :, :] = -1.0
     vol[:, [0, -1], :] = -1.0
