@@ -46,6 +46,14 @@ def parse_arguments(args=None):
     parser.add_argument('--exact_patch_sampling', type=int, default=0,
                         help='1: exact top-k patch selection (slower, for '
                              'parity checks); 0: approx (default)')
+    parser.add_argument('--eval_dtype', type=str, default='auto',
+                        choices=['auto', 'float32', 'bfloat16'],
+                        help='inference activation dtype override; auto = '
+                             'the checkpoint\'s training dtype (TPU-native '
+                             'extension, no reference analogue; bf16 '
+                             'inference on f32 weights measured 99.93%% '
+                             'sign agreement, docs/VALIDATION.md round 2). '
+                             'Env default: P2S_EVAL_DTYPE')
 
     opt = parser.parse_args(args=args)
     # surface non-default values of the dead compatibility flags instead of

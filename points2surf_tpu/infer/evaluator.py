@@ -92,7 +92,19 @@ def load_model_for_eval(eval_opt, model_name):
             setattr(train_opt, attr, default)
 
     pred_dim, _, _ = output_spec(train_opt.outputs)
-    model = build_model(train_opt, pred_dim)
+    # inference dtype override (--eval_dtype / P2S_EVAL_DTYPE): activations
+    # only — stored params and the checkpoint stay f32. 'auto' keeps the
+    # checkpoint's training dtype (build_model's mapping).
+    req = getattr(eval_opt, "eval_dtype", "auto")
+    if req == "auto":
+        req = os.environ.get("P2S_EVAL_DTYPE", "auto")
+    if req in ("float32", "bfloat16"):
+        orig_dtype = getattr(train_opt, "train_dtype", "float32")
+        train_opt.train_dtype = req
+        model = build_model(train_opt, pred_dim)
+        train_opt.train_dtype = orig_dtype
+    else:
+        model = build_model(train_opt, pred_dim)
 
     if model_file.endswith(".pth"):
         from points2surf_tpu.models.import_torch import load_torch_checkpoint

@@ -417,8 +417,24 @@ def extract_patches(
             None,
         )
     else:
+        # kNN reconstruction sweeps that can't use tiles (clouds <= 2x the
+        # candidate depth) pay a full exact top_k sort per query here; the
+        # tile path's dense FALLBACK already accepts approx selection
+        # (recall >= 0.95) for kNN eval as quality-neutral on
+        # reconstructions, so offer the same trade on this path.
+        # P2S_EVAL_APPROX_SELECT=1 opts in (read once at trace time);
+        # spread GT-eval queries (coherent=False) and --exact_patch_sampling
+        # keep exact selection either way.
+        import os as _os
+
+        approx_eval = (
+            cfg.knn_mode
+            and coherent
+            and _os.environ.get("P2S_EVAL_APPROX_SELECT", "0") == "1"
+        )
         ids, sqd, pad = _dense_select(
-            points, queries, n_valid, k, cfg, k_sel, approx_ok=train
+            points, queries, n_valid, k, cfg, k_sel,
+            approx_ok=train or approx_eval,
         )
 
     patch_pts_ms = points[ids]  # (B, k, 3)
