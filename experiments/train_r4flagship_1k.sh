@@ -6,6 +6,8 @@
 # the run, batch ~1000, 1000 patches/shape/epoch) on the proc_1k
 # procedural dataset; epoch count is wall-clock-bounded on the tunneled
 # single-chip rig (snapshots every 2 epochs make any cutoff evaluable).
+# NEPOCH/SCHED env override the epoch budget while keeping the decay
+# points at 50%/83% of the run (defaults: 40 epochs, decay at 20/33).
 #
 # cache_capacity 1200 > shape count: every cloud stays device-resident
 # after its first upload, so steady-state epochs pay zero cloud H2D
@@ -19,9 +21,9 @@ python -m points2surf_tpu.cli.full_train \
     --logdir 'logs' \
     --trainset 'trainset.txt' \
     --testset 'valset_small.txt' \
-    --nepoch 60 \
+    --nepoch ${NEPOCH:-40} \
     --lr 0.01 \
-    --scheduler_steps 30 50 \
+    --scheduler_steps ${SCHED:-"20 33"} \
     --save_interval 2 \
     --debug 0 \
     --workers 2 \

@@ -305,3 +305,38 @@ def test_coherent_queries_use_certified_tiles(rng):
         [len(np.intersect1d(ids[i], refi[i])) / 32 for i in range(1024)]
     )
     assert recall > 0.999
+
+
+def test_eval_approx_select_lever(rng, monkeypatch):
+    """P2S_EVAL_APPROX_SELECT=1 (eval-throughput lever) switches the dense
+    kNN eval path to approximate top-k selection; the default stays exact.
+    Observed by intercepting jax.lax.approx_max_k at trace time (fresh
+    cloud sizes force fresh traces that re-read the env)."""
+    calls = []
+    real = jax.lax.approx_max_k
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(jax.lax, "approx_max_k", spy)
+    # b < 64 keeps the tile path off either way (extract_patches use_tiles)
+    q = _cloud(rng, 5)
+    cfg = PatchConfig(points_per_patch=33, patch_radius=0.0,
+                      sub_sample_size=0)
+    pts = _cloud(rng, 531)
+    extract_patches(jnp.asarray(pts), jnp.asarray(q), pts.shape[0],
+                    jax.random.key(0), cfg=cfg, train=False)
+    assert not calls  # default: exact selection
+    monkeypatch.setenv("P2S_EVAL_APPROX_SELECT", "1")
+    pts2 = _cloud(rng, 532)
+    out = extract_patches(jnp.asarray(pts2), jnp.asarray(q), pts2.shape[0],
+                          jax.random.key(0), cfg=cfg, train=False)
+    assert calls  # lever engaged the approximate selection
+    assert np.asarray(out["patch_pts_ps"]).shape == (5, 33, 3)
+    # spread GT-eval callers (coherent=False) keep exact selection
+    calls.clear()
+    pts3 = _cloud(rng, 533)
+    extract_patches(jnp.asarray(pts3), jnp.asarray(q), pts3.shape[0],
+                    jax.random.key(0), cfg=cfg, train=False, coherent=False)
+    assert not calls

@@ -193,3 +193,36 @@ def test_f32_finetune_epochs_anneals_dtype(tmp_path, capsys):
     tra.train()
     assert tra.model.dtype is None
     assert "switching to float32 steps at epoch 0" in capsys.readouterr().out
+
+
+def test_eval_dtype_override(tmp_path):
+    """--eval_dtype / P2S_EVAL_DTYPE (eval-throughput lever): overrides the
+    inference activation dtype without touching the stored f32 params;
+    'auto' keeps the checkpoint's training dtype (cli/eval_args.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from points2surf_tpu.infer.evaluator import load_model_for_eval
+    from points2surf_tpu.train.trainer import Trainer
+
+    Trainer(_opt(str(tmp_path))).train()
+    base = dict(
+        modeldir=os.path.join(str(tmp_path), "models"),
+        modelpostfix="_model.npz", parampostfix="_params.json",
+    )
+    model, _, _, _ = load_model_for_eval(
+        argparse.Namespace(eval_dtype="auto", **base), "t"
+    )
+    assert model.dtype is None  # f32 checkpoint -> f32 activations
+    model_bf, params_bf, _, _ = load_model_for_eval(
+        argparse.Namespace(eval_dtype="bfloat16", **base), "t"
+    )
+    assert model_bf.dtype == jnp.bfloat16
+    for leaf in jax.tree_util.tree_leaves(params_bf):
+        assert leaf.dtype == jnp.float32  # storage stays f32
+    # override must not leak back into the saved train opt namespace
+    model_f32, _, _, topt = load_model_for_eval(
+        argparse.Namespace(eval_dtype="float32", **base), "t"
+    )
+    assert model_f32.dtype is None
+    assert getattr(topt, "train_dtype", "float32") == "float32"
