@@ -9,6 +9,18 @@
 # NEPOCH/SCHED env override the epoch budget while keeping the decay
 # points at 50%/83% of the run (defaults: 40 epochs, decay at 20/33).
 #
+# Dataset (deterministic; ~11 min CPU base meshes + ~75 min device
+# scan/GT-SDF on the tunneled chip; 917 shapes survive the reference's
+# 50k-face clean stage, splits 825 train / 90 test + valset_small = the
+# first 8 test shapes):
+#   python -m points2surf_tpu.cli.make_dataset --name proc_1k \
+#       --procedural 1000 --workers 2 \
+#       --procedural_styles csg csg bumpy hull csg thin bumpy hull
+#   head -8 datasets/proc_1k/testset.txt > datasets/proc_1k/valset_small.txt
+# The style cycle mixes all generator families INCLUDING 12.5% deliberate
+# thin shapes (plates/rods/rings) alongside csg-incidental thin features —
+# the cross-generator thin mix from docs/ROADMAP.md item 4.
+#
 # cache_capacity 1200 > shape count: every cloud stays device-resident
 # after its first upload, so steady-state epochs pay zero cloud H2D
 # through the ~25 ms tunnel (the dominant per-step overhead at 1k scale;
@@ -23,7 +35,7 @@ python -m points2surf_tpu.cli.full_train \
     --testset 'valset_small.txt' \
     --nepoch ${NEPOCH:-40} \
     --lr 0.01 \
-    --scheduler_steps ${SCHED:-"20 33"} \
+    --scheduler_steps ${SCHED:-20 33} \
     --save_interval 2 \
     --debug 0 \
     --workers 2 \
