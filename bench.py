@@ -262,6 +262,11 @@ def main():
         "vs_baseline": round(qps / BASELINE_QPS, 3),
     }
 
+    # NOTE: a bf16-eval + approx-select rider was measured here (round 4):
+    # 25,543 q/s vs 26,117 f32 — the sweep is extraction/top-k-bound, not
+    # matmul-bound, so the dtype lever buys nothing and is not benched
+    # (docs/PERFORMANCE.md round 4, query-path decomposition).
+
     if os.environ.get("P2S_BENCH_SKIP_TRAIN", "") != "1":
         # the headline train metric is the PRODUCTION default: float32
         # activations (bf16 training is not reconstruction-grade — sign

@@ -4,6 +4,7 @@ experiment spec, SURVEY §2.3; reference experiments/*.sh)."""
 
 import glob
 import os
+import re
 import shlex
 
 import pytest
@@ -16,10 +17,15 @@ EXPERIMENTS = os.path.join(os.path.dirname(__file__), "..", "experiments")
 
 def _script_args(path):
     """Extract the argv passed to the python entry point in a script."""
-    txt = open(path).read()
+    txt = "\n".join(
+        ln for ln in open(path).read().splitlines()
+        if not ln.lstrip().startswith("#")
+    )
     _, after = txt.split("python -m", 1)
     after = after.split("\n\n")[0]
-    tokens = shlex.split(after.replace("\\\n", " "))
+    # expand ${VAR:-default} shell defaults (env-overridable epoch budgets)
+    after = re.sub(r"\$\{\w+:-([^}]*)\}", r"\1", after)
+    tokens = shlex.split(after.replace("\\\n", " ").rstrip("\\ \t\n"))
     # drop the module name; substitute the script-derived ${NAME}
     name = os.path.basename(path)[:-3]
     name = name.split("_", 1)[1]  # train_/eval_ prefix
