@@ -163,6 +163,15 @@ def points_to_surf_eval(eval_opt):
             uniform_subsample=bool(train_opt.uniform_subsample),
             fixed_subsample=bool(train_opt.fixed_subsample),
             exact=bool(getattr(eval_opt, "exact_patch_sampling", 0)),
+            # opt-in eval lever: Gumbel-subsample candidate decimation
+            # depth (default 8 = ~8k candidates for a 1000 draw). 4 halves
+            # the selection cost (~14 ms/batch at batch 4096, the 2nd-
+            # largest extraction stage — docs/PERFORMANCE.md round 4);
+            # quality-gated on-chip before any default change.
+            subsample_candidates=int(os.environ.get(
+                "P2S_SUBSAMPLE_CANDIDATES",
+                PatchConfig.subsample_candidates,
+            )),
         )
         # the reference augments any non-reconstruction pass
         # (data_loader.py:381-393); queries shard over the device mesh.
