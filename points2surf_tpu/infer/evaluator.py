@@ -38,6 +38,26 @@ def visualize_query_points(query_pts_ms, query_dist_ms, file_out):
     mesh_io.write_ply(file_out, query_pts_ms, colors=colors)
 
 
+def _subsample_candidates_from_env() -> int:
+    """Parse the P2S_SUBSAMPLE_CANDIDATES eval lever, falling back to the
+    PatchConfig default (with a warning) on a non-integer value, and
+    announcing a non-default depth so it is visible in the run output."""
+    default = PatchConfig.subsample_candidates
+    raw = os.environ.get("P2S_SUBSAMPLE_CANDIDATES")
+    if raw is None:
+        return default
+    try:
+        value = int(raw)
+    except ValueError:
+        print(f"WARNING: P2S_SUBSAMPLE_CANDIDATES={raw!r} is not an "
+              f"integer; using default {default}")
+        return default
+    if value != default:
+        print(f"eval lever: subsample_candidates={value} "
+              f"(P2S_SUBSAMPLE_CANDIDATES, default {default})")
+    return value
+
+
 def post_process(pred: np.ndarray, outputs, patch_radius, fixed_radius):
     """tanh^2 scaling back to model space + sign binarization
     (reference points_to_surf_eval.py:174-196). Kept for API parity and
@@ -168,10 +188,7 @@ def points_to_surf_eval(eval_opt):
             # the selection cost (~14 ms/batch at batch 4096, the 2nd-
             # largest extraction stage — docs/PERFORMANCE.md round 4);
             # quality-gated on-chip before any default change.
-            subsample_candidates=int(os.environ.get(
-                "P2S_SUBSAMPLE_CANDIDATES",
-                PatchConfig.subsample_candidates,
-            )),
+            subsample_candidates=_subsample_candidates_from_env(),
         )
         # the reference augments any non-reconstruction pass
         # (data_loader.py:381-393); queries shard over the device mesh.

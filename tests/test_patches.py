@@ -340,3 +340,33 @@ def test_eval_approx_select_lever(rng, monkeypatch):
     extract_patches(jnp.asarray(pts3), jnp.asarray(q), pts3.shape[0],
                     jax.random.key(0), cfg=cfg, train=False, coherent=False)
     assert not calls
+
+
+def test_subsample_candidates_env_lever(monkeypatch, capsys):
+    """P2S_SUBSAMPLE_CANDIDATES (eval-throughput lever) feeds the eval
+    PatchConfig: valid integers override the default (and are announced),
+    garbage falls back to the default with a warning instead of crashing
+    (advisor round 4)."""
+    from points2surf_tpu.infer.evaluator import (
+        _subsample_candidates_from_env,
+    )
+
+    default = PatchConfig.subsample_candidates
+    monkeypatch.delenv("P2S_SUBSAMPLE_CANDIDATES", raising=False)
+    assert _subsample_candidates_from_env() == default
+
+    monkeypatch.setenv("P2S_SUBSAMPLE_CANDIDATES", "4")
+    assert _subsample_candidates_from_env() == 4
+    assert "subsample_candidates=4" in capsys.readouterr().out
+
+    monkeypatch.setenv("P2S_SUBSAMPLE_CANDIDATES", "fast")
+    assert _subsample_candidates_from_env() == default
+    assert "WARNING" in capsys.readouterr().out
+
+    # wiring: the override changes which candidate depth the extraction
+    # actually uses (n_cand scales with the decimation factor)
+    monkeypatch.setenv("P2S_SUBSAMPLE_CANDIDATES", "2")
+    cfg = PatchConfig(points_per_patch=33, patch_radius=0.0,
+                      sub_sample_size=64,
+                      subsample_candidates=_subsample_candidates_from_env())
+    assert cfg.subsample_candidates == 2
