@@ -136,3 +136,62 @@ def test_thin_plate_watertight_both_impls():
         # volume ~ plate: 1.0 x 1.0 x 0.06 in field units; vertices are in
         # voxel units (31.5 per unit): 31.5^2 * 1.89 ~ 1877
         assert 1500 < m.volume < 2300, (name, m.volume)
+
+
+def test_plane_field_is_exact(rng):
+    """Linear fields are interpolated EXACTLY by marching tetrahedra (the
+    per-tet interpolation is linear), so a plane field pins the extractor's
+    geometry — index->vertex placement, edge interpolation, axis order —
+    to numerical tolerance. An offset, axis-swap, or rescale bug shows up
+    as a constant-distance violation here while cancelling out of
+    volume-to-volume parity comparisons (the blind spot this test closes;
+    the reference meshes with skimage lewiner, sdf.py:215, unavailable
+    offline)."""
+    res = 20
+    idx = np.arange(res, dtype=np.float32)
+    x, y, z = np.meshgrid(idx, idx, idx, indexing="ij")
+    for seed in range(5):
+        r = np.random.RandomState(seed)
+        n = r.randn(3).astype(np.float32)
+        n /= np.linalg.norm(n)
+        # pass through a point near the grid center: always intersects
+        c = float(n.sum() * (res - 1) / 2.0 + (r.rand() - 0.5))
+        field = (n[0] * x + n[1] * y + n[2] * z - c).astype(np.float32)
+        verts, faces = marching_tetrahedra(field, 0.0)
+        assert len(verts) > 10 and len(faces) > 10, seed
+        d = verts @ n - c
+        assert np.abs(d).max() < 1e-4, (seed, np.abs(d).max())
+        # coherent orientation: positive side is "inside", so every face
+        # normal must point toward the negative half-space
+        v0, v1, v2 = (verts[faces[:, k]] for k in range(3))
+        fn = np.cross(v1 - v0, v2 - v0)
+        dots = fn @ n
+        nz = dots[np.abs(dots) > 1e-9]
+        assert (nz < 0).all(), (seed, (nz > 0).mean())
+
+
+def test_axis_permutation_metamorphic(rng):
+    """The Kuhn 6-tet decomposition is symmetric under axis permutations
+    (the tets enumerate the 6 axis orderings along the 0->6 diagonal), so
+    extracting a permuted field must yield the SAME surface point set with
+    coordinates permuted back — a self-consistency oracle independent of
+    any analytic field."""
+    res = 18
+    lin = np.linspace(-1, 1, res, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    # anisotropic blobby field: no accidental symmetry
+    field = (
+        0.45 - np.sqrt(0.5 * x * x + 1.7 * y * y + 3.1 * z * z)
+        + 0.08 * np.sin(4 * x) * np.cos(3 * y)
+    ).astype(np.float32)
+    base_v, base_f = marching_tetrahedra(field, 0.0)
+    assert len(base_v) > 50
+    key0 = set(map(tuple, np.round(base_v, 4).tolist()))
+    for perm in [(1, 0, 2), (2, 1, 0), (1, 2, 0), (2, 0, 1), (0, 2, 1)]:
+        pv, pf = marching_tetrahedra(np.transpose(field, perm), 0.0)
+        assert len(pf) == len(base_f), perm
+        back = np.empty_like(pv)
+        for axis_out, axis_in in enumerate(perm):
+            back[:, axis_in] = pv[:, axis_out]
+        key = set(map(tuple, np.round(back, 4).tolist()))
+        assert key == key0, perm
