@@ -88,6 +88,76 @@ def convert_state_dict(state_dict: dict):
     return params, batch_stats
 
 
+def _flatten(tree: dict, prefix=()):
+    for key, val in tree.items():
+        if isinstance(val, dict):
+            yield from _flatten(val, prefix + (key,))
+        else:
+            yield prefix + (key,), val
+
+
+def export_state_dict(params: dict, batch_stats: dict | None = None,
+                      data_parallel: bool = False) -> dict:
+    """Inverse of :func:`convert_state_dict`: flax pytrees -> a torch-layout
+    ``state_dict`` of numpy arrays loadable by the reference's
+    ``PointsToSurfModel.load_state_dict`` (points_to_surf_train.py:513 saves
+    the same layout). Lets a TPU-trained checkpoint drive the reference's
+    torch eval stack (and users migrate back).
+
+    ``data_parallel=True`` prefixes keys with ``module.`` like the released
+    DataParallel checkpoints. ``num_batches_tracked`` is emitted as 0 for
+    every norm module so ``load_state_dict(strict=True)`` passes.
+    """
+    state: dict = {}
+
+    def torch_key(path):
+        # drop the inserted 'trunk' levels; path ends (layer, kind, leaf)
+        mods = [p for p in path[:-2] if p != "trunk"]
+        return ".".join((["module"] if data_parallel else []) + mods)
+
+    for path, val in _flatten(params):
+        val = np.asarray(val)
+        layer, kind, leaf = path[-3], path[-2], path[-1]
+        base = torch_key(path)
+        if kind == "norm":
+            if leaf == "scale":
+                state[base + ".weight"] = val
+            elif leaf == "bias":
+                state[base + ".bias"] = val
+            else:
+                raise ValueError(f"unknown norm param leaf: {path}")
+            state.setdefault(base + ".num_batches_tracked",
+                             np.asarray(0, np.int64))
+        elif kind == "linear":
+            if leaf == "kernel":
+                if layer.startswith("conv"):  # torch Conv1d(k=1)
+                    state[base + ".weight"] = np.ascontiguousarray(
+                        val.T[:, :, None]
+                    )
+                else:  # torch Linear
+                    state[base + ".weight"] = np.ascontiguousarray(val.T)
+            elif leaf == "bias":
+                state[base + ".bias"] = val
+            else:
+                raise ValueError(f"unknown linear leaf: {path}")
+        else:
+            raise ValueError(f"unexpected param path: {path}")
+
+    for path, val in _flatten(batch_stats or {}):
+        base = torch_key(path)
+        leaf = path[-1]
+        if leaf == "mean":
+            state[base + ".running_mean"] = np.asarray(val)
+        elif leaf == "var":
+            state[base + ".running_var"] = np.asarray(val)
+        else:
+            raise ValueError(f"unknown batch_stats leaf: {path}")
+        state.setdefault(base + ".num_batches_tracked",
+                         np.asarray(0, np.int64))
+
+    return state
+
+
 def load_torch_checkpoint(path: str):
     """Load a reference ``*.pth`` checkpoint file -> (params, batch_stats)."""
     import torch

@@ -145,6 +145,50 @@ def test_dataparallel_prefix_stripped(rng):
     assert "feat_global" in params
 
 
+def test_export_state_dict_round_trip(rng):
+    """flax -> torch export (import_torch.export_state_dict) must invert the
+    import exactly: a torch->flax->torch round trip reloads with
+    strict=True and reproduces every tensor bit-for-bit, so a TPU-trained
+    checkpoint can drive the reference's torch eval stack."""
+    import torch
+
+    from points2surf_tpu.models.import_torch import (
+        convert_state_dict,
+        export_state_dict,
+    )
+
+    tm, _ = _torch_model(shared_transformation=True)
+    want_sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, batch_stats = convert_state_dict(tm.state_dict())
+    got_sd = export_state_dict(params, batch_stats)
+
+    assert set(got_sd) == set(want_sd)
+    for k in want_sd:
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(got_sd[k], want_sd[k], err_msg=k)
+
+    # a fresh torch model must accept the exported dict strictly and
+    # reproduce the original forward
+    tm2, _ = _torch_model(shared_transformation=True)
+    tm2.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                         for k, v in got_sd.items()}, strict=True)
+    tm.eval(), tm2.eval()
+    batch_np = {k: v.numpy().copy() for k, v in _batch(rng).items()}
+
+    def fresh():  # the reference forward mutates its inputs in place
+        return {k: torch.from_numpy(v.copy()) for k, v in batch_np.items()}
+
+    with torch.no_grad():
+        a = tm(fresh()).numpy()
+        b = tm2(fresh()).numpy()
+    np.testing.assert_array_equal(a, b)
+
+    # DataParallel layout: the released-checkpoint key format
+    dp = export_state_dict(params, batch_stats, data_parallel=True)
+    assert all(k.startswith("module.") for k in dp)
+
+
 def test_multiscale_encoder_parity_with_reference(rng):
     """num_scales=2 PointNetfeat (the reference's dormant multi-scale
     branch, model.py:166-230) must match: per-scale pooling + conv4/bn4
