@@ -112,7 +112,8 @@ def _ball_tile_candidates(cfg, n):
     return min(m, n)
 
 
-def _tile_select(points, queries, n_valid, k, cfg, tile, key, m=None):
+def _tile_select(points, queries, n_valid, k, cfg, tile, key, m=None,
+                 approx_eval=False):
     """Morton-tiled neighbor selection with per-tile exactness certificate.
 
     Each tile selects the M points nearest its centroid as a shared
@@ -164,7 +165,18 @@ def _tile_select(points, queries, n_valid, k, cfg, tile, key, m=None):
 
         if cfg.knn_mode:
             scores = jnp.where(cand_invalid, NEG_INF, -d2)
-            v, i = jax.lax.top_k(scores, k)
+            if approx_eval:
+                # P2S_EVAL_APPROX_SELECT: the exact per-query top-k lowers
+                # to full bitonic sorts and is the single largest
+                # extraction stage (23.6 ms/batch at production shapes,
+                # docs/PERFORMANCE.md round 4); approx_max_k at
+                # recall 0.999 costs 19.9 ms — same as at 0.95, so take
+                # the highest recall. The certificate below stays sound
+                # (the approx d_k over-estimates the true one), but a
+                # certified tile is then recall-0.999 rather than exact.
+                v, i = jax.lax.approx_max_k(scores, k, recall_target=0.999)
+            else:
+                v, i = jax.lax.top_k(scores, k)
             ids = cand[i]
             # certificate (sound: candidate d_k >= true d_k)
             d_k = jnp.sqrt(jnp.maximum(-v[:, -1], 0.0))
@@ -381,6 +393,17 @@ def extract_patches(
         and n > 2 * tile_m
         and b >= 64
     )
+    # opt-in approx per-query selection for coherent kNN eval sweeps
+    # (read once at trace time); spread GT-eval queries (coherent=False)
+    # and --exact_patch_sampling keep exact selection either way.
+    import os as _os
+
+    approx_eval = (
+        cfg.knn_mode
+        and coherent
+        and not cfg.exact
+        and _os.environ.get("P2S_EVAL_APPROX_SELECT", "0") == "1"
+    )
     if use_tiles:
         tile = min(cfg.tile_queries, b)
         pad_rows = (-b) % tile
@@ -392,7 +415,8 @@ def extract_patches(
             else queries
         )
         t_ids, t_sqd, t_pad, all_cert = _tile_select(
-            points, q_sel, n_valid, k, cfg, tile, k_sel, m=tile_m
+            points, q_sel, n_valid, k, cfg, tile, k_sel, m=tile_m,
+            approx_eval=approx_eval,
         )
         if pad_rows:
             t_ids, t_sqd, t_pad = t_ids[:b], t_sqd[:b], t_pad[:b]
@@ -421,17 +445,8 @@ def extract_patches(
         # candidate depth) pay a full exact top_k sort per query here; the
         # tile path's dense FALLBACK already accepts approx selection
         # (recall >= 0.95) for kNN eval as quality-neutral on
-        # reconstructions, so offer the same trade on this path.
-        # P2S_EVAL_APPROX_SELECT=1 opts in (read once at trace time);
-        # spread GT-eval queries (coherent=False) and --exact_patch_sampling
-        # keep exact selection either way.
-        import os as _os
-
-        approx_eval = (
-            cfg.knn_mode
-            and coherent
-            and _os.environ.get("P2S_EVAL_APPROX_SELECT", "0") == "1"
-        )
+        # reconstructions, so P2S_EVAL_APPROX_SELECT offers the same trade
+        # on this path (approx_eval hoisted above).
         ids, sqd, pad = _dense_select(
             points, queries, n_valid, k, cfg, k_sel,
             approx_ok=train or approx_eval,

@@ -342,6 +342,44 @@ def test_eval_approx_select_lever(rng, monkeypatch):
     assert not calls
 
 
+def test_eval_approx_select_lever_tile_path(rng, monkeypatch):
+    """The lever must also reach the Morton-TILE kNN path (the production
+    grid-sweep route): per-tile selection switches from exact top-k (the
+    single largest extraction stage, docs/PERFORMANCE.md round 4) to
+    approx_max_k at recall 0.999, while keeping >= 0.95 measured recall
+    against the scipy oracle."""
+    import scipy.spatial as sp
+
+    from points2surf_tpu.ops.voxel import grid_query_points
+
+    calls = []
+    real = jax.lax.approx_max_k
+
+    def spy(*a, **k):
+        calls.append(k.get("recall_target"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(jax.lax, "approx_max_k", spy)
+    monkeypatch.setenv("P2S_EVAL_APPROX_SELECT", "1")
+
+    pts = (rng.rand(20000, 3).astype(np.float32) * 1.2) - 0.6
+    pad = np.zeros((32768, 3), np.float32)
+    pad[:20000] = pts
+    q = grid_query_points(pts, 128, 3)[:256]
+    cfg = PatchConfig(points_per_patch=32, sub_sample_size=0)
+    out = extract_patches(
+        jnp.asarray(pad), jnp.asarray(q), 20000, jax.random.key(0),
+        cfg=cfg, train=False,
+    )
+    assert 0.999 in calls  # the per-tile selection engaged the lever
+    ids = np.asarray(out["patch_pts_ids"])
+    _, refi = sp.cKDTree(pts).query(q, 32)
+    recall = np.mean(
+        [len(np.intersect1d(ids[i], refi[i])) / 32 for i in range(len(q))]
+    )
+    assert recall > 0.95, recall
+
+
 def test_subsample_candidates_env_lever(monkeypatch, capsys):
     """P2S_SUBSAMPLE_CANDIDATES (eval-throughput lever) feeds the eval
     PatchConfig: valid integers override the default (and are announced),
