@@ -102,6 +102,24 @@ def _extract_and_write(vol: np.ndarray, mc_out_file: str,
     return False
 
 
+def seed_filter_from_env() -> int:
+    """P2S_SEED_FILTER: opt-in flood-containment pre-pass strength (number
+    of wrong-sign-neighbor votes needed to keep a seed; 0 = off). Validated
+    + announced like the other eval levers."""
+    raw = os.environ.get("P2S_SEED_FILTER")
+    if raw is None:
+        return 0
+    try:
+        value = int(raw)
+    except ValueError:
+        print(f"WARNING: P2S_SEED_FILTER={raw!r} is not an integer; "
+              "seed filter stays off")
+        return 0
+    if value:
+        print(f"eval lever: seed_filter={value} (P2S_SEED_FILTER)")
+    return value
+
+
 def implicit_surface_to_mesh(
     query_dist_ms: np.ndarray,
     query_pts_ms: np.ndarray,
@@ -110,9 +128,13 @@ def implicit_surface_to_mesh(
     grid_res: int,
     sigma: int,
     certainty_threshold: int = 26,
+    seed_filter: int = 0,
 ) -> bool:
     """Densify sparse SDF samples and extract the zero isosurface
-    (reference sdf.py:181-230). Returns True when a mesh was written."""
+    (reference sdf.py:181-230). Returns True when a mesh was written.
+
+    ``seed_filter`` > 0 enables the experimental flood-containment
+    pre-pass (ops/voxel.filter_seed_signs) before sign propagation."""
     if float(np.max(query_dist_ms)) == 0.0 and float(np.min(query_dist_ms)) == 0.0:
         print(f"WARNING: implicit surface for {volume_out_file} "
               "contains only zeros")
@@ -128,6 +150,7 @@ def implicit_surface_to_mesh(
             grid_res,
             sigma,
             certainty_threshold,
+            seed_filter,
         )
     )
     print(f"Sign propagation took: {time.time() - t0}")
@@ -139,12 +162,14 @@ def implicit_surface_to_mesh(
 def implicit_surface_to_mesh_file(
     query_dist_ms_file, query_pts_ms_file,
     volume_out_file, mc_out_file, grid_res, sigma, certainty_threshold,
+    seed_filter=0,
 ):
     query_dist_ms = np.load(query_dist_ms_file)
     query_pts_ms = np.load(query_pts_ms_file)
     implicit_surface_to_mesh(
         query_dist_ms, query_pts_ms,
         volume_out_file, mc_out_file, grid_res, sigma, certainty_threshold,
+        seed_filter,
     )
 
 
@@ -152,7 +177,7 @@ def implicit_surface_to_mesh_directory(
     imp_surf_dist_ms_dir, query_pts_ms_dir,
     vol_out_dir, mesh_out_dir,
     grid_res, sigma, certainty_threshold, num_processes=1,
-    shard=None,
+    shard=None, seed_filter=None,
 ):
     """Per-directory driver (reference sdf.py:241-266).
 
@@ -163,8 +188,15 @@ def implicit_surface_to_mesh_directory(
 
     ``shard=(index, count)`` meshes a round-robin share of the directory
     (multi-host runs: each host meshes the shapes it reconstructed).
+
+    ``seed_filter=None`` (the default) reads P2S_SEED_FILTER from the
+    environment, so the flood-containment pre-pass can be enabled on any
+    production eval without code changes.
     """
     from concurrent.futures import ThreadPoolExecutor
+
+    if seed_filter is None:
+        seed_filter = seed_filter_from_env()
 
     os.makedirs(vol_out_dir, exist_ok=True)
     os.makedirs(mesh_out_dir, exist_ok=True)
@@ -199,7 +231,7 @@ def implicit_surface_to_mesh_directory(
         pts_pad, dist_pad, n_q = _pad_queries(pts, dist)
         vol_dev = _build_volume(
             jnp.asarray(pts_pad), jnp.asarray(dist_pad), n_q,
-            grid_res, sigma, certainty_threshold,
+            grid_res, sigma, certainty_threshold, seed_filter,
         )
         # fetch in f16: the 256^3 volume is 67 MB in f32 and the host
         # fetch dominates this stage (measured 3.7-4.6 s f32 vs 0.5-0.8 s
