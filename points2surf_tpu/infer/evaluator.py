@@ -125,6 +125,9 @@ def load_model_for_eval(eval_opt, model_name):
         train_opt.train_dtype = orig_dtype
     else:
         model = build_model(train_opt, pred_dim)
+    if os.environ.get("P2S_EVAL_TAIL_BF16", "0") == "1":
+        # engages in models/pointnet._pooled_tail at trace time
+        print("eval lever: trunk-tail matmuls in bf16 (P2S_EVAL_TAIL_BF16)")
 
     if model_file.endswith(".pth"):
         from points2surf_tpu.models.import_torch import load_torch_checkpoint

@@ -418,10 +418,27 @@ def _pooled_tail(x, act_relu, sym_op, dtype, train, conv_mod, bn_mod):
         scale, bn_bias, mean, var = bn_mod()
         inv = (scale.astype(jnp.float32) * jax.lax.rsqrt(var + 1e-5))
         shift = bn_bias.astype(jnp.float32) - mean * inv
-        c = (
-            jnp.einsum("bni,ij->bnj", x.astype(d), kernel.astype(d))
-            + bias.astype(d)[None, None, :]
-        )
+        if d in (None, jnp.float32) and (
+            _os.environ.get("P2S_EVAL_TAIL_BF16", "0") == "1"
+        ):
+            # P2S_EVAL_TAIL_BF16: the five trunk-tail matmuls hold ~90%
+            # of the forward FLOPs (docs/PERFORMANCE.md round 5); run
+            # JUST these dots with bf16 operands + f32 MXU accumulation
+            # (the native TPU mode) while everything geometric — patch
+            # normalization, rotations, distances — stays f32. Read once
+            # at trace time like the other eval levers; quality-gated at
+            # reconstruction grade before any default change.
+            c = jnp.einsum(
+                "bni,ij->bnj",
+                x.astype(jnp.bfloat16),
+                kernel.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) + bias.astype(jnp.float32)[None, None, :]
+        else:
+            c = (
+                jnp.einsum("bni,ij->bnj", x.astype(d), kernel.astype(d))
+                + bias.astype(d)[None, None, :]
+            )
         y = c.astype(jnp.float32) * inv[None, None, :] + shift[None, None, :]
         if act_relu:
             y = nn.relu(y)

@@ -316,3 +316,38 @@ def test_covbn_full_model_train_step(rng, monkeypatch):
     assert np.isfinite(l2) and np.isfinite(n2)
     np.testing.assert_allclose(l2, l1, rtol=1e-3)
     np.testing.assert_allclose(n2, n1, rtol=1e-2)
+
+
+def test_eval_tail_bf16_lever(rng, monkeypatch):
+    """P2S_EVAL_TAIL_BF16 (eval-throughput lever): runs ONLY the trunk-tail
+    matmuls (~90% of forward FLOPs, docs/PERFORMANCE.md round 5) with bf16
+    operands + f32 accumulation at eval. Engagement is proven by the
+    outputs differing bit-wise from the f32 path while staying within
+    bf16-rounding distance; train mode and explicit-bf16 models are
+    untouched."""
+    batch = {
+        "patch_pts_ps": jnp.asarray(rng.randn(4, 30, 3).astype(np.float32)),
+        "pts_sub_sample_ms": jnp.asarray(
+            rng.randn(4, 50, 3).astype(np.float32)
+        ),
+        "imp_surf_query_point_ms": jnp.asarray(
+            rng.randn(4, 3).astype(np.float32)
+        ),
+    }
+    m = PointsToSurfModel(net_size_max=128, output_dim=2,
+                          shared_transformation=True)
+    v = m.init(jax.random.key(0), batch, False)
+
+    monkeypatch.delenv("P2S_EVAL_TAIL_BF16", raising=False)
+    base = np.asarray(m.apply(v, batch, False))
+    monkeypatch.setenv("P2S_EVAL_TAIL_BF16", "1")
+    lever = np.asarray(m.apply(v, batch, False))
+    tr_base, tr_mut = m.apply(v, batch, True, mutable=["batch_stats"])
+
+    assert not np.array_equal(base, lever)  # the bf16 dots engaged
+    np.testing.assert_allclose(lever, base, rtol=0.05, atol=0.05)
+
+    # train mode must be bit-identical with the lever set (eval-only)
+    monkeypatch.delenv("P2S_EVAL_TAIL_BF16")
+    tr_off, _ = m.apply(v, batch, True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(tr_base), np.asarray(tr_off))
