@@ -234,8 +234,13 @@ def main():
         if os.environ.get("P2S_BENCH_DTYPE", "") == "bf16"
         else None
     )
+    # the production eval-sweep extraction config: candidate decimation 4
+    # + approx coherent selection are the defaults since the round-5
+    # reconstruction-grade gate (docs/VALIDATION.md round 5; HD/Chamfer
+    # within sampling noise of exact, GT-eval MSE bit-identical)
     cfg = PatchConfig(
-        points_per_patch=300, patch_radius=0.0, sub_sample_size=1000
+        points_per_patch=300, patch_radius=0.0, sub_sample_size=1000,
+        subsample_candidates=4,
     )
     model = PointsToSurfModel(
         net_size_max=1024, output_dim=2, use_point_stn=True,
@@ -262,10 +267,13 @@ def main():
         "vs_baseline": round(qps / BASELINE_QPS, 3),
     }
 
-    # NOTE: a bf16-eval + approx-select rider was measured here (round 4):
-    # 25,543 q/s vs 26,117 f32 — the sweep is extraction/top-k-bound, not
-    # matmul-bound, so the dtype lever buys nothing and is not benched
-    # (docs/PERFORMANCE.md round 4, query-path decomposition).
+    # NOTE: a bf16-eval rider was measured here (round 4): 25,543 q/s vs
+    # 26,117 f32 — the sweep is extraction/top-k-bound, not matmul-bound,
+    # so the dtype lever buys nothing and is not benched
+    # (docs/PERFORMANCE.md round 4, query-path decomposition). The
+    # extraction levers (decimation 4 + approx select) ARE the default
+    # production config since the round-5 gate and are what qps above
+    # measures.
 
     if os.environ.get("P2S_BENCH_SKIP_TRAIN", "") != "1":
         # the headline train metric is the PRODUCTION default: float32
@@ -273,12 +281,19 @@ def main():
         # acuity near thin features, docs/VALIDATION.md round 3). The
         # bf16 step, the opt-in fast path for f1-level experimentation,
         # rides along as an extra field.
+        # the TRAIN metric measures the production TRAINING extraction
+        # config — full candidate depth (the round-5 decimation-4 gate
+        # covered eval sweeps only; training keeps the PatchConfig
+        # default of 8)
+        train_cfg = PatchConfig(
+            points_per_patch=300, patch_radius=0.0, sub_sample_size=1000
+        )
         os.environ["P2S_BENCH_TRAIN_DTYPE"] = "f32"
         pps = bench_train(jax, jnp, np, model, params, batch_stats,
-                          cfg, pts_dev, n, queries, rtt)
+                          train_cfg, pts_dev, n, queries, rtt)
         os.environ["P2S_BENCH_TRAIN_DTYPE"] = "bf16"
         pps_bf16 = bench_train(jax, jnp, np, model, params, batch_stats,
-                               cfg, pts_dev, n, queries, rtt)
+                               train_cfg, pts_dev, n, queries, rtt)
         result["train_patches_per_sec"] = round(pps, 1)
         result["train_vs_baseline"] = round(pps / BASELINE_TRAIN_PPS, 3)
         result["train_pps_bf16_experimental"] = round(pps_bf16, 1)

@@ -11,10 +11,13 @@
 #   bash experiments/eval_r5flagship.sh                    # default path
 #   LEVERS=1 bash experiments/eval_r5flagship.sh           # throughput levers
 #   DATASETS="proc_oodeval/testset.txt" bash ...           # OOD only
-if [ "${LEVERS:-0}" = "1" ]; then
-    export P2S_SUBSAMPLE_CANDIDATES=4
-    export P2S_EVAL_APPROX_SELECT=1
-    OUTDIR=${OUTDIR:-results_levers}
+# The round-5 gate made the throughput levers (decimation-4 subsample +
+# approx coherent selection) the eval DEFAULTS; LEVERS=0 restores the
+# exact pre-gate path for A/B reruns.
+if [ "${LEVERS:-1}" = "0" ]; then
+    export P2S_SUBSAMPLE_CANDIDATES=8
+    export P2S_EVAL_APPROX_SELECT=0
+    OUTDIR=${OUTDIR:-results_exact}
 else
     OUTDIR=${OUTDIR:-results}
 fi

@@ -38,11 +38,22 @@ def visualize_query_points(query_pts_ms, query_dist_ms, file_out):
     mesh_io.write_ply(file_out, query_pts_ms, colors=colors)
 
 
+#: Eval-path default for the Gumbel-subsample candidate decimation depth.
+#: 4 (vs the library-wide PatchConfig default of 8) halves the subsample
+#: selection cost (~14 ms/batch at batch 4096) and passed the
+#: reconstruction-grade quality gate on the round-5 flagship: 12-shape
+#: grid-256 A/B, per-shape HD/Chamfer within sampling noise (means
+#: 0.0509/200.0 vs 0.0524/200.2) and GT-eval MSE bit-identical
+#: (docs/VALIDATION.md round 5). The training path keeps the PatchConfig
+#: default. Override with P2S_SUBSAMPLE_CANDIDATES.
+EVAL_SUBSAMPLE_CANDIDATES = 4
+
+
 def _subsample_candidates_from_env() -> int:
     """Parse the P2S_SUBSAMPLE_CANDIDATES eval lever, falling back to the
-    PatchConfig default (with a warning) on a non-integer value, and
+    gated eval default (with a warning) on a non-integer value, and
     announcing a non-default depth so it is visible in the run output."""
-    default = PatchConfig.subsample_candidates
+    default = EVAL_SUBSAMPLE_CANDIDATES
     raw = os.environ.get("P2S_SUBSAMPLE_CANDIDATES")
     if raw is None:
         return default
@@ -186,11 +197,10 @@ def points_to_surf_eval(eval_opt):
             uniform_subsample=bool(train_opt.uniform_subsample),
             fixed_subsample=bool(train_opt.fixed_subsample),
             exact=bool(getattr(eval_opt, "exact_patch_sampling", 0)),
-            # opt-in eval lever: Gumbel-subsample candidate decimation
-            # depth (default 8 = ~8k candidates for a 1000 draw). 4 halves
-            # the selection cost (~14 ms/batch at batch 4096, the 2nd-
-            # largest extraction stage — docs/PERFORMANCE.md round 4);
-            # quality-gated on-chip before any default change.
+            # Gumbel-subsample candidate decimation depth: eval default 4
+            # (reconstruction-grade gate passed, docs/VALIDATION.md round
+            # 5; ~14 ms/batch saved at batch 4096); P2S_SUBSAMPLE_CANDIDATES
+            # overrides, training keeps the PatchConfig default of 8.
             subsample_candidates=_subsample_candidates_from_env(),
         )
         # the reference augments any non-reconstruction pass

@@ -393,16 +393,21 @@ def extract_patches(
         and n > 2 * tile_m
         and b >= 64
     )
-    # opt-in approx per-query selection for coherent kNN eval sweeps
-    # (read once at trace time); spread GT-eval queries (coherent=False)
-    # and --exact_patch_sampling keep exact selection either way.
+    # approx per-query selection for coherent kNN eval sweeps — DEFAULT ON
+    # since the round-5 reconstruction-grade gate (12-shape grid-256 A/B
+    # vs exact: per-shape HD/Chamfer within sampling noise, GT-eval MSE
+    # bit-identical — docs/VALIDATION.md round 5; ~4 ms/batch saved at
+    # batch 4096). Read once at trace time; P2S_EVAL_APPROX_SELECT=0
+    # restores exact selection. Spread GT-eval queries (coherent=False),
+    # training, and --exact_patch_sampling keep exact selection either way.
     import os as _os
 
     approx_eval = (
         cfg.knn_mode
         and coherent
+        and not train  # training keeps exact selection (gate covers eval)
         and not cfg.exact
-        and _os.environ.get("P2S_EVAL_APPROX_SELECT", "0") == "1"
+        and _os.environ.get("P2S_EVAL_APPROX_SELECT", "1") == "1"
     )
     if use_tiles:
         tile = min(cfg.tile_queries, b)

@@ -308,15 +308,19 @@ def test_coherent_queries_use_certified_tiles(rng):
 
 
 def test_eval_approx_select_lever(rng, monkeypatch):
-    """P2S_EVAL_APPROX_SELECT=1 (eval-throughput lever) switches the dense
-    kNN eval path to approximate top-k selection; the default stays exact.
+    """Approximate top-k selection is the DEFAULT for coherent kNN eval
+    sweeps since the round-5 reconstruction-grade gate (docs/VALIDATION.md
+    round 5); P2S_EVAL_APPROX_SELECT=0 restores exact selection, and
+    spread GT-eval callers (coherent=False) stay exact regardless.
     Observed by intercepting jax.lax.approx_max_k at trace time (fresh
     cloud sizes force fresh traces that re-read the env)."""
     calls = []
+    lever_recalls = []
     real = jax.lax.approx_max_k
 
     def spy(*a, **k):
         calls.append(1)
+        lever_recalls.append(k.get("recall_target"))
         return real(*a, **k)
 
     monkeypatch.setattr(jax.lax, "approx_max_k", spy)
@@ -324,22 +328,36 @@ def test_eval_approx_select_lever(rng, monkeypatch):
     q = _cloud(rng, 5)
     cfg = PatchConfig(points_per_patch=33, patch_radius=0.0,
                       sub_sample_size=0)
+    monkeypatch.delenv("P2S_EVAL_APPROX_SELECT", raising=False)
     pts = _cloud(rng, 531)
-    extract_patches(jnp.asarray(pts), jnp.asarray(q), pts.shape[0],
-                    jax.random.key(0), cfg=cfg, train=False)
-    assert not calls  # default: exact selection
-    monkeypatch.setenv("P2S_EVAL_APPROX_SELECT", "1")
-    pts2 = _cloud(rng, 532)
-    out = extract_patches(jnp.asarray(pts2), jnp.asarray(q), pts2.shape[0],
+    out = extract_patches(jnp.asarray(pts), jnp.asarray(q), pts.shape[0],
                           jax.random.key(0), cfg=cfg, train=False)
-    assert calls  # lever engaged the approximate selection
+    assert calls  # default: approximate selection (gated round 5)
     assert np.asarray(out["patch_pts_ps"]).shape == (5, 33, 3)
-    # spread GT-eval callers (coherent=False) keep exact selection
+    monkeypatch.setenv("P2S_EVAL_APPROX_SELECT", "0")
+    calls.clear()
+    pts2 = _cloud(rng, 532)
+    extract_patches(jnp.asarray(pts2), jnp.asarray(q), pts2.shape[0],
+                    jax.random.key(0), cfg=cfg, train=False)
+    assert not calls  # opt-out restores exact selection
+    # spread GT-eval callers (coherent=False) keep exact selection even
+    # with the default-on lever
+    monkeypatch.delenv("P2S_EVAL_APPROX_SELECT", raising=False)
     calls.clear()
     pts3 = _cloud(rng, 533)
     extract_patches(jnp.asarray(pts3), jnp.asarray(q), pts3.shape[0],
                     jax.random.key(0), cfg=cfg, train=False, coherent=False)
     assert not calls
+    # the TRAINING extraction (fused train step calls coherent=True) must
+    # not pick up the eval lever — the round-5 gate covered eval sweeps
+    # only. Train legitimately uses dense-approx draws at recall 0.95;
+    # the lever's per-query selection is recognizable by recall 0.999.
+    calls.clear()
+    lever_recalls.clear()
+    pts4 = _cloud(rng, 534)
+    extract_patches(jnp.asarray(pts4), jnp.asarray(q), pts4.shape[0],
+                    jax.random.key(0), cfg=cfg, train=True)
+    assert 0.999 not in lever_recalls
 
 
 def test_eval_approx_select_lever_tile_path(rng, monkeypatch):
@@ -386,16 +404,20 @@ def test_subsample_candidates_env_lever(monkeypatch, capsys):
     garbage falls back to the default with a warning instead of crashing
     (advisor round 4)."""
     from points2surf_tpu.infer.evaluator import (
+        EVAL_SUBSAMPLE_CANDIDATES,
         _subsample_candidates_from_env,
     )
 
-    default = PatchConfig.subsample_candidates
+    # the eval-path default is the round-5 gated depth, NOT the library-
+    # wide PatchConfig default the training path keeps
+    default = EVAL_SUBSAMPLE_CANDIDATES
+    assert default == 4 and PatchConfig.subsample_candidates == 8
     monkeypatch.delenv("P2S_SUBSAMPLE_CANDIDATES", raising=False)
     assert _subsample_candidates_from_env() == default
 
-    monkeypatch.setenv("P2S_SUBSAMPLE_CANDIDATES", "4")
-    assert _subsample_candidates_from_env() == 4
-    assert "subsample_candidates=4" in capsys.readouterr().out
+    monkeypatch.setenv("P2S_SUBSAMPLE_CANDIDATES", "8")
+    assert _subsample_candidates_from_env() == 8
+    assert "subsample_candidates=8" in capsys.readouterr().out
 
     monkeypatch.setenv("P2S_SUBSAMPLE_CANDIDATES", "fast")
     assert _subsample_candidates_from_env() == default
