@@ -241,9 +241,13 @@ def _lpr_fwd(x, kernel, bias, dtype, need_minmax, need_stats):
     # this exact glue (residual packing, stats assembly, sum-pool path)
     interpret = _os.environ.get("P2S_PALLAS_TAIL_INTERPRET", "") == "1"
     # multi-device meshes need the custom_partitioning wrapper (pallas
-    # has no SPMD rule) — opt-in until validated on a real pod slice
+    # has no SPMD rule). Default-ON since round 5: the rule is validated
+    # per-shard on virtual meshes (dryrun_multichip, XLA A/B 1.3e-06)
+    # and the real kernel is validated inside a real-chip mesh context
+    # (scripts/probe_sharded_tail.py, bf16-grade A/B vs fallback);
+    # P2S_PALLAS_TAIL_SHARDED=0 restores the XLA fallback on meshes.
     multi = jax.device_count() > 1
-    sharded_ok = _os.environ.get("P2S_PALLAS_TAIL_SHARDED", "") == "1"
+    sharded_ok = _os.environ.get("P2S_PALLAS_TAIL_SHARDED", "1") == "1"
     if (
         d == jnp.float32
         and _os.environ.get("P2S_PALLAS_TAIL", "1") == "1"

@@ -202,10 +202,11 @@ def pooled_tail_reductions_sharded(
     registers the natural rule via ``custom_partitioning``: x and all
     six outputs shard on the batch dimension, w/b replicate, and each
     device runs the kernel on its batch shard (arg indices address the
-    unsharded point axis, so they are already global). Opt-in via
-    P2S_PALLAS_TAIL_SHARDED=1 (models/pointnet.py) — validated on the
-    virtual CPU mesh in interpret mode; needs a real pod-slice run
-    before becoming the multi-chip default (docs/ROADMAP.md).
+    unsharded point axis, so they are already global). Default-ON on
+    meshes since round 5 (P2S_PALLAS_TAIL_SHARDED=0 opts out): the rule
+    is validated per-shard on the virtual CPU mesh in interpret mode
+    (dryrun_multichip, XLA A/B rel 1.3e-06) and the real kernel inside
+    a real-chip mesh context by scripts/probe_sharded_tail.py.
     """
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding
