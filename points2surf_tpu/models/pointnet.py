@@ -545,6 +545,61 @@ def _conv_bn_relu(x, train, features, dtype, conv_name, bn_name):
     return nn.relu(z)
 
 
+# ------------------------------------------------------- fused eval chain
+#
+# At EVAL, every trunk is `conv1 -> bn -> relu -> conv2 -> bn -> relu ->
+# conv3 -> bn -> (relu) -> pool` with all BN affines KNOWN, so the whole
+# chain is a pure per-point MLP + reduction. XLA runs it as three dots
+# and materializes the (B, n, 64/128) interiors in HBM — the measured
+# bottleneck of the eval forward (docs/PERFORMANCE.md round 5: ~36 GB of
+# the reconstruction batch's traffic lives in these five chains). The
+# Pallas chain kernel (ops/pallas/chain_kernel.py) streams the point
+# axis once and keeps the interiors in VMEM. Gated default-OFF until the
+# on-chip timing A/B + reconstruction-grade quality gate pass
+# (P2S_EVAL_CHAIN=1 enables; _INTERPRET=1 is the CPU test escape hatch).
+
+
+def _eval_chain_ok(x, dtype, train: bool, num_scales: int) -> bool:
+    """Trace-time gate for the fused eval conv-chain kernel."""
+    if train or num_scales != 1 or x.ndim != 3:
+        return False
+    if (dtype or jnp.float32) != jnp.float32:
+        return False
+    if _os.environ.get("P2S_EVAL_CHAIN", "0") != "1":
+        return False
+    from points2surf_tpu.ops.pallas import chain_kernel as _ck
+
+    interpret = _os.environ.get("P2S_EVAL_CHAIN_INTERPRET", "") == "1"
+    if not (interpret or _ck.supported(x)):
+        return False
+    if jax.device_count() > 1 and (
+        _os.environ.get("P2S_EVAL_CHAIN_SHARDED", "1") != "1"
+    ):
+        return False
+    return True
+
+
+def _eval_chain_call(x, layers, sym_op: str):
+    from points2surf_tpu.ops.pallas import chain_kernel as _ck
+
+    interpret = _os.environ.get("P2S_EVAL_CHAIN_INTERPRET", "") == "1"
+    fn = _ck.chain_pool_sharded if jax.device_count() > 1 else _ck.chain_pool
+    return fn(x, tuple(layers), sym_op=sym_op, interpret=interpret)
+
+
+def _eval_chain_layer(conv_name, bn_name, features, fan_in):
+    """(W, a, c) triple for one conv+bn eval layer, reading the params
+    through the parameter-compatible owner modules (same tree layout as
+    the PLinear/BN stack — torch import and checkpoints unaffected).
+    Must be called from a ``@nn.compact`` scope, like ``_conv_bn_relu``."""
+    from points2surf_tpu.ops.pallas.chain_kernel import fold_conv_bn
+
+    kernel, cbias = _TailDenseOwner(features, fan_in, name=conv_name)()
+    scale, bbias, mean, var = _TailBNOwner(features, name=bn_name)()
+    a, c = fold_conv_bn(kernel, cbias, scale, bbias, mean, var)
+    return kernel, a, c
+
+
 class _STNTrunk(nn.Module):
     """Shared conv trunk + FC head of STN/QSTN (model.py:41-64, 100-122)."""
 
@@ -556,6 +611,18 @@ class _STNTrunk(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         d = self.dtype
+        if _eval_chain_ok(x, d, train, self.num_scales):
+            # fused eval chain: conv1..conv3 + bn affines + max pool in
+            # one VMEM pass; the post-bn3 relu commutes with the max
+            layers = (
+                _eval_chain_layer("conv1", "bn1", 64, x.shape[-1]),
+                _eval_chain_layer("conv2", "bn2", 128, 64),
+                _eval_chain_layer("conv3", "bn3", self.net_size_max, 128),
+            )
+            h = nn.relu(_eval_chain_call(x, layers, "max")).astype(
+                d or jnp.float32
+            )
+            return self._fc_head(h, train)
         h = _conv_bn_relu(x, train, 64, d, "conv1", "bn1")
         h = _conv_bn_relu(h, train, 128, d, "conv2", "bn2")
         # symmetric max over points; per scale segment when multi-scale
@@ -578,6 +645,10 @@ class _STNTrunk(nn.Module):
                 )
             )
             h = _scale_pool(h, self.num_scales)
+        return self._fc_head(h, train)
+
+    def _fc_head(self, h, train: bool):
+        d = self.dtype
         if self.num_scales > 1:
             h = nn.relu(
                 BN(d, name="bn0")(
@@ -680,11 +751,25 @@ class PointNetFeat(nn.Module):
                 jnp.einsum("bij,bnj->bni", trans2, h), "p2s_feat_rot"
             )
 
-        h = _conv_bn_relu(h, train, 64, d, "conv1", "bn1")
-        h = _conv_bn_relu(h, train, 128, d, "conv2", "bn2")
-
         if self.sym_op not in ("max", "sum"):
             raise ValueError(f"Unsupported symmetric operation: {self.sym_op}")
+
+        if _eval_chain_ok(h, d, train, self.num_scales):
+            # fused eval chain: conv1 -> conv2 -> conv3 with bn affines +
+            # sym pool in one VMEM pass (no relu after bn3 in the
+            # single-scale reference path, model.py:209-230)
+            layers = (
+                _eval_chain_layer("conv1", "bn1", 64, h.shape[-1]),
+                _eval_chain_layer("conv2", "bn2", 128, 64),
+                _eval_chain_layer("conv3", "bn3", self.output_size, 128),
+            )
+            h = _eval_chain_call(h, layers, self.sym_op).astype(
+                d or jnp.float32
+            )
+            return h, trans, trans_quat, trans2
+
+        h = _conv_bn_relu(h, train, 64, d, "conv1", "bn1")
+        h = _conv_bn_relu(h, train, 128, d, "conv2", "bn2")
 
         if _FUSED_TAIL and self.num_scales == 1:
             # fused conv3 -> bn3 -> sym pool (no relu before the pool in

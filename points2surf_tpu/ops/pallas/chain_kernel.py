@@ -1,21 +1,27 @@
-"""Pallas kernel: fused pointwise-MLP chain + max-pool.
+"""Pallas kernel: fused pointwise-MLP chain + symmetric pool (eval mode).
 
-The PointNet trunks apply a chain of pointwise linear layers to every
-point and max-pool over the point axis (reference model.py:41-49 /
-:200-212). XLA must materialize each intermediate activation in HBM
-((B, n, 64/128) arrays — gigabytes at reconstruction batch sizes); this
-kernel keeps the whole chain in VMEM per tile and only ever writes the
-(B, C_out) pooled result.
+The PointNet trunks apply a chain of pointwise linear+BN(+relu) layers to
+every point and pool over the point axis (reference model.py:41-49 /
+:200-212). At eval, XLA runs each layer as its own dot and must
+materialize every intermediate activation in HBM — the (B, n, 64/128)
+interiors are ~36 GB of traffic per reconstruction batch and the measured
+bottleneck of the eval forward (docs/PERFORMANCE.md round 5). This kernel
+keeps the whole chain in VMEM per tile and only writes the (B, C_out)
+pooled result.
 
-Grid-reduction layout: grid = (B tiles, n chunks); the output block index
-ignores the n-chunk coordinate, so the running max stays resident in VMEM
-across the reduction dimension while the pipeline double-buffers the
-incoming point chunks.
+History: the round-1 version of this kernel LOST to XLA (25 vs 11.4 ms)
+because its dots ran full-f32 MXU passes — ~4x the bf16-operand rate,
+swamping the HBM saving. Round 3's train-tail kernel established the fix
+(cast dot operands to bf16, accumulate f32 — XLA's own default-precision
+numerics class); this round-5 rewrite applies it here, adds eval-BN
+affines (applied post-dot in exact f32, so every dot sees the SAME
+bf16-rounded weights the literal XLA path rounds), ragged point-axis
+masking, and the sum-pool variant.
 
-Inference-mode BatchNorm folds into each layer (see
-encoder_tail.fold_batchnorm): y = relu(x @ W_i + c_i) per layer, with the
-final layer's ReLU optional (the main encoder pools bn3's output without
-activation, reference model.py:203).
+Grid-reduction layout (same as ops/pallas/train_tail.py): grid =
+(B tiles, n chunks); the output block index ignores the n-chunk
+coordinate, so the running max/sum stays resident in VMEM across the
+reduction dimension while the pipeline double-buffers incoming chunks.
 """
 
 from __future__ import annotations
@@ -29,43 +35,274 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_LARGE = -1e30
 
+# Introspection mirror of train_tail.PARTITION_AXES_SEEN: appended each
+# time the SHARDED eval-chain partition rule lowers per-shard.
+PARTITION_AXES_SEEN: list = []
 
-def _chain_kernel(x_ref, w1_ref, c1_ref, w2_ref, c2_ref, w3_ref, c3_ref,
-                  o_ref, *, relu_last: bool):
+
+def _chain_kernel(x_ref, *refs, n_layers: int, n_valid: int, tn: int,
+                  sym_op: str, relu_last: bool, bf16_operands: bool):
+    # refs: (w, a, c) per layer, then o_ref. Per layer: y = (h @ w) * a + c
+    # (a/c carry the folded eval-BN affine + conv bias), relu between
+    # layers, optional relu on the last, then max/sum over points.
+    o_ref = refs[-1]
     j = pl.program_id(1)
+    tb, _, cin = x_ref.shape
+    cout = o_ref.shape[1]
 
     @pl.when(j == 0)
-    def _():
-        o_ref[:, :] = jnp.full_like(o_ref, NEG_LARGE)
+    def _init():
+        o_ref[:, :] = (
+            jnp.full((tb, cout), NEG_LARGE, jnp.float32)
+            if sym_op == "max"
+            else jnp.zeros((tb, cout), jnp.float32)
+        )
 
-    tb, nc, c0 = x_ref.shape
-    h = x_ref[:, :, :].reshape(tb * nc, c0)
-    h = jnp.maximum(
-        jnp.dot(h, w1_ref[:, :], preferred_element_type=jnp.float32)
-        + c1_ref[0, :][None, :],
-        0.0,
+    h = x_ref[:, :, :].reshape(tb * tn, cin)
+    for li in range(n_layers):
+        w = refs[3 * li][:, :]
+        a = refs[3 * li + 1][0, :]
+        c = refs[3 * li + 2][0, :]
+        if bf16_operands:
+            # XLA's DEFAULT matmul precision class (bf16 operand rounding,
+            # f32 accumulation) — what the literal eval layer stack runs
+            # at on TPU. Full-f32 passes cost ~4x and were why the
+            # round-1 kernel lost (module docstring).
+            h = h.astype(jnp.bfloat16)
+            w = w.astype(jnp.bfloat16)
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32)
+        h = h * a[None, :] + c[None, :]
+        if li < n_layers - 1 or relu_last:
+            h = jnp.maximum(h, 0.0)
+
+    y = h.reshape(tb, tn, cout)
+    # mask rows past n_valid (wrapper's point-axis padding)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tb, tn, cout), 1) + j * tn
+    valid = rows < n_valid
+    if sym_op == "max":
+        y = jnp.where(valid, y, NEG_LARGE)
+        o_ref[:, :] = jnp.maximum(o_ref[:, :], jnp.max(y, axis=1))
+    else:
+        y = jnp.where(valid, y, 0.0)
+        o_ref[:, :] = o_ref[:, :] + jnp.sum(y, axis=1)
+
+
+def _chain_literal(x, layers, sym_op, relu_last):
+    """XLA reference/fallback with identical semantics to the kernel."""
+    h = x
+    n_layers = len(layers)
+    for li, (w, a, c) in enumerate(layers):
+        h = jnp.einsum("bnc,cd->bnd", h, w) * a[None, None, :] + c
+        if li < n_layers - 1 or relu_last:
+            h = jnp.maximum(h, 0.0)
+    return jnp.max(h, axis=1) if sym_op == "max" else jnp.sum(h, axis=1)
+
+
+def supported(x: jax.Array) -> bool:
+    """Platform/shape gate: TPU backend, batch tileable by 8."""
+    return (
+        x.ndim == 3
+        and x.shape[0] % 8 == 0
+        and jax.default_backend() != "cpu"
     )
-    h = jnp.maximum(
-        jnp.dot(h, w2_ref[:, :], preferred_element_type=jnp.float32)
-        + c2_ref[0, :][None, :],
-        0.0,
+
+
+def chain_pool(
+    x: jax.Array,
+    layers,
+    *,
+    sym_op: str = "max",
+    relu_last: bool = False,
+    tb: int = 8,
+    tn: int = 128,
+    interpret: bool = False,
+    bf16_operands: bool | None = None,
+):
+    """Pool over points of a fused pointwise-MLP chain.
+
+    Computes ``pool_n(L_k(relu(...relu(L_1(x))...)))`` with
+    ``L_i(h) = (h @ W_i) * a_i + c_i`` — ``a_i``/``c_i`` carry the folded
+    inference BatchNorm affine and conv bias (see ``fold_conv_bn``) —
+    for x of shape (B, n, Cin); pool is max or sum (``sym_op``).
+
+    ``layers`` is a static-length sequence of (w, a, c) triples. The point
+    axis may be ragged (padded to the tile size internally and masked);
+    a channel count below 8 is zero-padded to 8 (zero weight rows make
+    the padding inert). Falls back to plain XLA when B % tb != 0.
+    Returns (B, C_out) float32.
+    """
+    import os
+
+    if bf16_operands is None:
+        bf16_operands = (
+            os.environ.get("P2S_EVAL_CHAIN_PREC", "default") != "highest"
+        )
+    layers = tuple(
+        (w, jnp.ones((w.shape[1],), jnp.float32) if a is None else a, c)
+        for (w, a, c) in layers
     )
-    y = (
-        jnp.dot(h, w3_ref[:, :], preferred_element_type=jnp.float32)
-        + c3_ref[0, :][None, :]
-    )
-    if relu_last:
-        y = jnp.maximum(y, 0.0)
-    cout = o_ref.shape[1]
-    o_ref[:, :] = jnp.maximum(
-        o_ref[:, :], jnp.max(y.reshape(tb, nc, cout), axis=1)
+    return _chain_pool(
+        x, layers, sym_op=sym_op, relu_last=relu_last, tb=tb, tn=tn,
+        interpret=interpret, bf16_operands=bool(bf16_operands),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu_last", "tb", "nc", "interpret"),
+    static_argnames=(
+        "sym_op", "relu_last", "tb", "tn", "interpret", "bf16_operands"
+    ),
 )
+def _chain_pool(x, layers, *, sym_op, relu_last, tb, tn, interpret,
+                bf16_operands):
+    if sym_op not in ("max", "sum"):
+        raise ValueError(f"unsupported sym_op: {sym_op}")
+    b, n, cin = x.shape
+    cout = layers[-1][0].shape[1]
+    if b % tb != 0:
+        return _chain_literal(x, layers, sym_op, relu_last)
+
+    if cin < 8:
+        # zero-pad the input channels to the sublane width; zero weight
+        # rows keep the result exact
+        w0, a0, c0 = layers[0]
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 8 - cin)))
+        w0 = jnp.pad(w0, ((0, 8 - cin), (0, 0)))
+        layers = ((w0, a0, c0),) + tuple(layers[1:])
+        cin = 8
+    n_pad = -(-n // tn) * tn
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    grid = (b // tb, n_pad // tn)
+    in_specs = [
+        pl.BlockSpec((tb, tn, cin), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x]
+    for w, a, c in layers:
+        ci, co = w.shape
+        for arr, spec in (
+            (w, pl.BlockSpec((ci, co), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)),
+            (a.reshape(1, -1), pl.BlockSpec((1, co), lambda i, j: (0, 0),
+                                            memory_space=pltpu.VMEM)),
+            (c.reshape(1, -1), pl.BlockSpec((1, co), lambda i, j: (0, 0),
+                                            memory_space=pltpu.VMEM)),
+        ):
+            in_specs.append(spec)
+            args.append(arr)
+    return pl.pallas_call(
+        functools.partial(
+            _chain_kernel, n_layers=len(layers), n_valid=n, tn=tn,
+            sym_op=sym_op, relu_last=relu_last,
+            bf16_operands=bf16_operands,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, cout), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tb, cout), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+
+def chain_pool_sharded(x, layers, *, sym_op="max", relu_last=False,
+                       interpret=False):
+    """Data-parallel wrapper: batch-dim SPMD partitioning for the kernel.
+
+    Same design as train_tail.pooled_tail_reductions_sharded: pallas_call
+    has no partitioning rule, so this registers the natural one — x and
+    the pooled output shard on the batch dimension, all layer params
+    replicate, each device runs the kernel on its batch shard (the point
+    axis is unsharded, so masks/pools are already global per shard).
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    flat = []
+    for w, a, c in layers:
+        flat.extend([
+            w,
+            jnp.ones((w.shape[1],), jnp.float32) if a is None else a,
+            c,
+        ])
+
+    @custom_partitioning
+    def _call(x, *params):
+        lys = tuple(
+            (params[3 * i], params[3 * i + 1], params[3 * i + 2])
+            for i in range(len(params) // 3)
+        )
+        return chain_pool(x, lys, sym_op=sym_op, relu_last=relu_last,
+                          interpret=interpret)
+
+    def _batch_axis(arg_infos):
+        spec = getattr(arg_infos[0].sharding, "spec", None)
+        if spec is None or len(spec) == 0:
+            return None
+        return spec[0]
+
+    def partition(mesh, arg_infos, result_infos):
+        axis = _batch_axis(arg_infos)
+        PARTITION_AXES_SEEN.append(axis)
+        arg_shardings = (NamedSharding(mesh, P(axis, None, None)),) + tuple(
+            NamedSharding(mesh, P(*([None] * arg_infos[k].ndim)))
+            for k in range(1, len(arg_infos))
+        )
+        out_shardings = NamedSharding(mesh, P(axis, None))
+
+        def lower_fn(xs, *params):
+            lys = tuple(
+                (params[3 * i], params[3 * i + 1], params[3 * i + 2])
+                for i in range(len(params) // 3)
+            )
+            return chain_pool(xs, lys, sym_op=sym_op, relu_last=relu_last,
+                              interpret=interpret)
+
+        return mesh, lower_fn, out_shardings, arg_shardings
+
+    # Shardy rule: only the batch factor may shard; point/channel factors
+    # replicate (the kernel consumes the full point axis per shard).
+    n_layers = len(layers)
+    terms = ["b n c0"]
+    for i in range(n_layers):
+        terms.append(f"c{i} d{i}")
+        terms.append(f"d{i}")
+        terms.append(f"d{i}")
+    rule = ", ".join(terms) + f" -> b d{n_layers - 1}"
+    # Shardy requires the special (replicated) factors listed in order of
+    # first appearance in the rule
+    factors = ["n", "c0"]
+    for i in range(n_layers):
+        factors.extend([f"d{i}", f"c{i + 1}"])
+    factors = [f for f in factors if f != f"c{n_layers}"]
+    _call.def_partition(
+        partition,
+        sharding_rule=rule,
+        need_replication_factors=tuple(dict.fromkeys(factors)),
+    )
+    return _call(x, *flat)
+
+
+def fold_conv_bn(kernel, cbias, scale, bbias, mean, var, eps: float = 1e-5):
+    """Eval-mode (conv bias + BatchNorm) -> per-channel affine (a, c).
+
+    ``bn(x @ W + b) == (x @ W) * a + c`` with running stats (mean, var)
+    and BN affine (scale, bbias):  a = scale/sqrt(var+eps),
+    c = bbias + (b - mean) * a. The conv weights W pass through UNCHANGED
+    so the kernel's bf16 operand rounding matches the literal path's.
+    """
+    a = scale.astype(jnp.float32) * jax.lax.rsqrt(
+        var.astype(jnp.float32) + eps
+    )
+    c = bbias.astype(jnp.float32) + (
+        cbias.astype(jnp.float32) - mean.astype(jnp.float32)
+    ) * a
+    return a, c
+
+
 def chain3_maxpool(
     x: jax.Array,
     w1: jax.Array, c1: jax.Array,
@@ -77,48 +314,14 @@ def chain3_maxpool(
     nc: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """max over points of a 3-layer pointwise MLP.
+    """Back-compat wrapper: 3-layer chain, bias-only affines, max pool.
 
-    Computes ``max_n(L3(relu(L2(relu(L1(x))))))`` with ``L_i(h) = h@W_i+c_i``
-    and optional ReLU on L3, for x of shape (B, n, C0).
-
-    Falls back to plain XLA when shapes don't tile (B % tb, n % nc).
-    Returns (B, C_out) float32.
+    Exercised by tests/test_pallas.py; production goes through
+    ``chain_pool`` (models/pointnet.py eval path).
     """
-    b, n, c0 = x.shape
-    cout = w3.shape[1]
-    if b % tb != 0 or n % nc != 0:
-        h = jnp.maximum(jnp.einsum("bnc,cd->bnd", x, w1) + c1, 0.0)
-        h = jnp.maximum(jnp.einsum("bnc,cd->bnd", h, w2) + c2, 0.0)
-        y = jnp.einsum("bnc,cd->bnd", h, w3) + c3
-        if relu_last:
-            y = jnp.maximum(y, 0.0)
-        return jnp.max(y, axis=1)
-
-    grid = (b // tb, n // nc)
-    mid1, mid2 = w1.shape[1], w2.shape[1]
-    return pl.pallas_call(
-        functools.partial(_chain_kernel, relu_last=relu_last),
-        out_shape=jax.ShapeDtypeStruct((b, cout), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, nc, c0), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c0, mid1), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mid1), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mid1, mid2), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mid2), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mid2, cout), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tb, cout), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x, w1, c1.reshape(1, -1), w2, c2.reshape(1, -1), w3,
-      c3.reshape(1, -1))
+    return chain_pool(
+        x,
+        ((w1, None, c1), (w2, None, c2), (w3, None, c3)),
+        sym_op="max", relu_last=relu_last, tb=tb, tn=nc,
+        interpret=interpret, bf16_operands=False,
+    )

@@ -97,7 +97,10 @@ def main():
             net_size_max=1024, output_dim=2, use_point_stn=True,
             use_feat_stn=True, shared_transformation=True, dtype=dtype,
         )
-        v = m.init(jax.random.key(0), bt, True)
+        # jit the init: eager init dispatches each layer's op as its own
+        # remote compile at batch 4096, which is slow through the tunnel
+        # and has hit transient remote-compile HTTP 500s
+        v = jax.jit(m.init, static_argnums=2)(jax.random.key(0), bt, True)
         return m, v["params"], v.get("batch_stats", {})
 
     model, params, bstats = build()
@@ -120,6 +123,27 @@ def main():
         _report(name, c)
         results[name] = _time(lambda: jax.jit(fwd)(params, bstats, bt), rtt)
     os.environ["P2S_EVAL_TAIL_BF16"] = "0"
+
+    # --- fused eval-chain kernel (P2S_EVAL_CHAIN) ------------------------
+    os.environ["P2S_EVAL_CHAIN"] = "1"
+    jax.clear_caches()  # trace-time gate
+    c = jax.jit(fwd).lower(params, bstats, bt).compile()
+    n_pallas = c.as_text().count("tpu_custom_call")
+    _report("forward/chain", c)
+    print(f"  [forward/chain] {n_pallas} tpu_custom_call sites "
+          "(expect 5: qstn + 2x stn2 + 2 encoder tails)")
+    results["forward/chain"] = _time(
+        lambda: jax.jit(fwd)(params, bstats, bt), rtt
+    )
+    # numeric A/B vs the literal forward (same batch): bf16-grade expected
+    chain_out = np.asarray(jax.jit(fwd)(params, bstats, bt))
+    os.environ["P2S_EVAL_CHAIN"] = "0"
+    jax.clear_caches()
+    lit_out = np.asarray(jax.jit(fwd)(params, bstats, bt))
+    denom = np.abs(lit_out).mean() + 1e-9
+    print(f"  [forward/chain] vs literal: mean|d| "
+          f"{np.abs(chain_out - lit_out).mean() / denom:.3e} (rel), max|d| "
+          f"{np.abs(chain_out - lit_out).max():.3e}")
 
     m16, p16, bs16 = build(jnp.bfloat16)
 

@@ -241,3 +241,117 @@ def test_train_tail_sharded_explicit_mesh(rng, monkeypatch):
     # outputs stay batch-sharded (no gather onto one device)
     spec = out[0].sharding.spec
     assert len(spec) == 0 or spec[0] in ("data", None)
+
+
+def test_chain_pool_interpret(rng):
+    """Fused eval-chain kernel vs the literal oracle: ragged point axis,
+    sub-sublane input channels (3 -> zero-pad 8), BN affines, both pools."""
+    from points2surf_tpu.ops.pallas.chain_kernel import (
+        _chain_literal,
+        chain_pool,
+    )
+
+    for b, n, cin in [(16, 300, 3), (8, 130, 64)]:
+        x = jnp.asarray((rng.randn(b, n, cin) * 0.5).astype(np.float32))
+        layers, ci = [], cin
+        for co in (64, 128, 256):
+            layers.append((
+                jnp.asarray((rng.randn(ci, co) * 0.2).astype(np.float32)),
+                jnp.asarray((rng.rand(co) + 0.5).astype(np.float32)),
+                jnp.asarray((rng.randn(co) * 0.1).astype(np.float32)),
+            ))
+            ci = co
+        layers = tuple(layers)
+        for sym in ("max", "sum"):
+            got = chain_pool(x, layers, sym_op=sym, interpret=True,
+                             bf16_operands=False)
+            want = _chain_literal(x, layers, sym, False)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-3
+            )
+        # bf16-operand mode (the TPU production default): same numerics
+        # class as XLA default-precision dots — loose tolerance
+        got = chain_pool(x, layers, sym_op="max", interpret=True,
+                         bf16_operands=True)
+        want = _chain_literal(x, layers, "max", False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=3e-2, atol=3e-2
+        )
+
+
+def test_chain_pool_sharded_explicit_mesh(rng):
+    """Eval-chain kernel under an explicit 8-device data-parallel mesh:
+    x sharded on batch, output batch-sharded, matches the oracle, and the
+    partition rule actually lowered per-shard."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from points2surf_tpu.ops.pallas import chain_kernel as ck
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("data",))
+    b, n = 16, 70
+    x = (rng.randn(b, n, 64) * 0.5).astype(np.float32)
+    layers, ci = [], 64
+    for co in (64, 128, 256):
+        layers.append((
+            jnp.asarray((rng.randn(ci, co) * 0.2).astype(np.float32)),
+            jnp.asarray((rng.rand(co) + 0.5).astype(np.float32)),
+            jnp.asarray((rng.randn(co) * 0.1).astype(np.float32)),
+        ))
+        ci = co
+    layers = tuple(layers)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    ck.PARTITION_AXES_SEEN.clear()
+    got = jax.jit(
+        lambda a: ck.chain_pool_sharded(a, layers, sym_op="max",
+                                        interpret=True)
+    )(xs)
+    # interpret-mode kernel on CPU runs exact f32 only when PREC=highest;
+    # default bf16-operand rounding needs the loose tolerance
+    want = ck._chain_literal(jnp.asarray(x), layers, "max", False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+    assert ck.PARTITION_AXES_SEEN, "partition rule never lowered"
+    spec = got.sharding.spec
+    assert len(spec) == 0 or spec[0] in ("data", None)
+
+
+def test_eval_chain_model_equivalence(rng, monkeypatch):
+    """P2S_EVAL_CHAIN=1 (interpret, exact f32) must reproduce the literal
+    eval forward of the full dual-branch model — covering the BN folds,
+    relu/pool commutes, the qstn cin=3 pad, and both encoder tails."""
+    import jax
+
+    from points2surf_tpu.models.p2s import PointsToSurfModel
+
+    b = 16
+    batch = {
+        "patch_pts_ps": jnp.asarray(
+            (rng.randn(b, 30, 3) * 0.3).astype(np.float32)),
+        "pts_sub_sample_ms": jnp.asarray(
+            (rng.randn(b, 50, 3) * 0.3).astype(np.float32)),
+        "imp_surf_query_point_ms": jnp.asarray(
+            (rng.randn(b, 3) * 0.1).astype(np.float32)),
+    }
+    m = PointsToSurfModel(net_size_max=256, output_dim=2,
+                          use_point_stn=True, use_feat_stn=True,
+                          shared_transformation=True)
+    v = m.init(jax.random.key(0), batch, True)
+    _, mut = m.apply(v, batch, True, mutable=["batch_stats"])
+    v = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+
+    monkeypatch.delenv("P2S_EVAL_CHAIN", raising=False)
+    want = m.apply(v, batch, False)
+    monkeypatch.setenv("P2S_EVAL_CHAIN", "1")
+    monkeypatch.setenv("P2S_EVAL_CHAIN_INTERPRET", "1")
+    monkeypatch.setenv("P2S_EVAL_CHAIN_PREC", "highest")
+    jax.clear_caches()  # env gates are read at trace time
+    got = m.apply(v, batch, False)
+    monkeypatch.delenv("P2S_EVAL_CHAIN", raising=False)
+    monkeypatch.delenv("P2S_EVAL_CHAIN_INTERPRET", raising=False)
+    monkeypatch.delenv("P2S_EVAL_CHAIN_PREC", raising=False)
+    jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
