@@ -549,13 +549,12 @@ def _conv_bn_relu(x, train, features, dtype, conv_name, bn_name):
 #
 # At EVAL, every trunk is `conv1 -> bn -> relu -> conv2 -> bn -> relu ->
 # conv3 -> bn -> (relu) -> pool` with all BN affines KNOWN, so the whole
-# chain is a pure per-point MLP + reduction. XLA runs it as three dots
-# and materializes the (B, n, 64/128) interiors in HBM — the measured
-# bottleneck of the eval forward (docs/PERFORMANCE.md round 5: ~36 GB of
-# the reconstruction batch's traffic lives in these five chains). The
-# Pallas chain kernel (ops/pallas/chain_kernel.py) streams the point
-# axis once and keeps the interiors in VMEM. Gated default-OFF until the
-# on-chip timing A/B + reconstruction-grade quality gate pass
+# chain is a pure per-point MLP + reduction. The Pallas chain kernel
+# (ops/pallas/chain_kernel.py) fuses it into one VMEM pass. Measured
+# NEGATIVE result — the kernel is ~1.85x SLOWER than XLA's literal
+# chains at every viable tiling (docs/PERFORMANCE.md round 5), so it
+# stays default-OFF; the wiring is kept as tested machinery and the
+# evidence that the eval forward is architecture-bound
 # (P2S_EVAL_CHAIN=1 enables; _INTERPRET=1 is the CPU test escape hatch).
 
 

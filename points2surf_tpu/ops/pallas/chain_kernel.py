@@ -2,21 +2,23 @@
 
 The PointNet trunks apply a chain of pointwise linear+BN(+relu) layers to
 every point and pool over the point axis (reference model.py:41-49 /
-:200-212). At eval, XLA runs each layer as its own dot and must
-materialize every intermediate activation in HBM — the (B, n, 64/128)
-interiors are ~36 GB of traffic per reconstruction batch and the measured
-bottleneck of the eval forward (docs/PERFORMANCE.md round 5). This kernel
-keeps the whole chain in VMEM per tile and only writes the (B, C_out)
-pooled result.
+:200-212). At eval, XLA runs each layer as its own dot and materializes
+every intermediate activation in HBM; this kernel keeps the whole chain
+in VMEM per tile and only writes the (B, C_out) pooled result.
 
-History: the round-1 version of this kernel LOST to XLA (25 vs 11.4 ms)
-because its dots ran full-f32 MXU passes — ~4x the bf16-operand rate,
-swamping the HBM saving. Round 3's train-tail kernel established the fix
-(cast dot operands to bf16, accumulate f32 — XLA's own default-precision
-numerics class); this round-5 rewrite applies it here, adds eval-BN
-affines (applied post-dot in exact f32, so every dot sees the SAME
-bf16-rounded weights the literal XLA path rounds), ragged point-axis
-masking, and the sum-pool variant.
+STATUS — measured NEGATIVE result, default-OFF (P2S_EVAL_CHAIN=1 to
+enable): the round-1 version LOST to XLA (25 vs 11.4 ms) on full-f32
+MXU passes; this round-5 rewrite fixed that (bf16 dot operands / f32
+accumulation — XLA's own default-precision numerics class), added
+folded eval-BN affines, ragged-n masking, the sum-pool variant, the
+SPMD wrapper, and the n-resident ``inner`` layout — and STILL loses
+~1.85x (18.6 vs 10.1 ms standalone; 108.8 vs 61.6 ms in the full
+forward, rel 8.5e-05 numerics). Per-grid-step overhead is falsified
+(n-resident: 8-11x fewer steps, only ~11% faster); the residual cost is
+the dependent dot->affine->relu sub-chains on M=1024-2048 row tiles,
+which serialize MXU/VPU work that XLA's M=4M-row literal GEMMs overlap.
+Full analysis: docs/PERFORMANCE.md round 5. Kept as tested machinery
+and the recorded evidence that the eval forward is architecture-bound.
 
 Grid-reduction layout (same as ops/pallas/train_tail.py): grid =
 (B tiles, n chunks); the output block index ignores the n-chunk
@@ -41,7 +43,8 @@ PARTITION_AXES_SEEN: list = []
 
 
 def _chain_kernel(x_ref, *refs, n_layers: int, n_valid: int, tn: int,
-                  sym_op: str, relu_last: bool, bf16_operands: bool):
+                  inner: int, grid_n: int, sym_op: str, relu_last: bool,
+                  bf16_operands: bool):
     # refs: (w, a, c) per layer, then o_ref. Per layer: y = (h @ w) * a + c
     # (a/c carry the folded eval-BN affine + conv bias), relu between
     # layers, optional relu on the last, then max/sum over points.
@@ -58,33 +61,50 @@ def _chain_kernel(x_ref, *refs, n_layers: int, n_valid: int, tn: int,
             else jnp.zeros((tb, cout), jnp.float32)
         )
 
-    h = x_ref[:, :, :].reshape(tb * tn, cin)
-    for li in range(n_layers):
-        w = refs[3 * li][:, :]
-        a = refs[3 * li + 1][0, :]
-        c = refs[3 * li + 2][0, :]
-        if bf16_operands:
-            # XLA's DEFAULT matmul precision class (bf16 operand rounding,
-            # f32 accumulation) — what the literal eval layer stack runs
-            # at on TPU. Full-f32 passes cost ~4x and were why the
-            # round-1 kernel lost (module docstring).
-            h = h.astype(jnp.bfloat16)
-            w = w.astype(jnp.bfloat16)
-        h = jnp.dot(h, w, preferred_element_type=jnp.float32)
-        h = h * a[None, :] + c[None, :]
-        if li < n_layers - 1 or relu_last:
-            h = jnp.maximum(h, 0.0)
+    acc = None
+    for s in range(tn // inner):
+        h = x_ref[:, s * inner:(s + 1) * inner, :].reshape(tb * inner, cin)
+        for li in range(n_layers):
+            w = refs[3 * li][:, :]
+            a = refs[3 * li + 1][0, :]
+            c = refs[3 * li + 2][0, :]
+            if bf16_operands:
+                # XLA's DEFAULT matmul precision class (bf16 operand
+                # rounding, f32 accumulation) — what the literal eval
+                # layer stack runs at on TPU. Full-f32 passes cost ~4x
+                # and were why the round-1 kernel lost (module docstring).
+                h = h.astype(jnp.bfloat16)
+                w = w.astype(jnp.bfloat16)
+            h = jnp.dot(h, w, preferred_element_type=jnp.float32)
+            h = h * a[None, :] + c[None, :]
+            if li < n_layers - 1 or relu_last:
+                h = jnp.maximum(h, 0.0)
 
-    y = h.reshape(tb, tn, cout)
-    # mask rows past n_valid (wrapper's point-axis padding)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tb, tn, cout), 1) + j * tn
-    valid = rows < n_valid
+        y = h.reshape(tb, inner, cout)
+        # mask rows past n_valid (wrapper's point-axis padding). With a
+        # single n-grid step the row range is static per sub-chunk, so
+        # fully-valid sub-chunks skip the iota/select VPU work entirely.
+        if grid_n == 1 and (s + 1) * inner <= n_valid:
+            pass
+        else:
+            rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (tb, inner, cout), 1)
+                + (j * tn + s * inner)
+            )
+            valid = rows < n_valid
+            y = jnp.where(valid, y,
+                          NEG_LARGE if sym_op == "max" else 0.0)
+        part = jnp.max(y, axis=1) if sym_op == "max" else jnp.sum(y, axis=1)
+        if acc is None:
+            acc = part
+        elif sym_op == "max":
+            acc = jnp.maximum(acc, part)
+        else:
+            acc = acc + part
     if sym_op == "max":
-        y = jnp.where(valid, y, NEG_LARGE)
-        o_ref[:, :] = jnp.maximum(o_ref[:, :], jnp.max(y, axis=1))
+        o_ref[:, :] = jnp.maximum(o_ref[:, :], acc)
     else:
-        y = jnp.where(valid, y, 0.0)
-        o_ref[:, :] = o_ref[:, :] + jnp.sum(y, axis=1)
+        o_ref[:, :] = o_ref[:, :] + acc
 
 
 def _chain_literal(x, layers, sym_op, relu_last):
@@ -115,6 +135,7 @@ def chain_pool(
     relu_last: bool = False,
     tb: int = 8,
     tn: int = 128,
+    inner: int | None = None,
     interpret: bool = False,
     bf16_operands: bool | None = None,
 ):
@@ -129,6 +150,14 @@ def chain_pool(
     axis may be ragged (padded to the tile size internally and masked);
     a channel count below 8 is zero-padded to 8 (zero weight rows make
     the padding inert). Falls back to plain XLA when B % tb != 0.
+
+    ``inner`` switches to the n-resident layout: the WHOLE (padded) point
+    axis is one grid block, and the kernel walks it in ``inner``-point
+    sub-chunks (registers carry the running pool). Grid steps drop from
+    B/tb * n/tn to B/tb, amortizing per-step overheads that dominate at
+    tb=8/tn=128 (docs/PERFORMANCE.md round 5). Keep tb*inner*cout*4 well
+    under VMEM (~16 MB).
+
     Returns (B, C_out) float32.
     """
     import os
@@ -143,17 +172,19 @@ def chain_pool(
     )
     return _chain_pool(
         x, layers, sym_op=sym_op, relu_last=relu_last, tb=tb, tn=tn,
-        interpret=interpret, bf16_operands=bool(bf16_operands),
+        inner=inner, interpret=interpret,
+        bf16_operands=bool(bf16_operands),
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "sym_op", "relu_last", "tb", "tn", "interpret", "bf16_operands"
+        "sym_op", "relu_last", "tb", "tn", "inner", "interpret",
+        "bf16_operands",
     ),
 )
-def _chain_pool(x, layers, *, sym_op, relu_last, tb, tn, interpret,
+def _chain_pool(x, layers, *, sym_op, relu_last, tb, tn, inner, interpret,
                 bf16_operands):
     if sym_op not in ("max", "sum"):
         raise ValueError(f"unsupported sym_op: {sym_op}")
@@ -170,6 +201,11 @@ def _chain_pool(x, layers, *, sym_op, relu_last, tb, tn, interpret,
         w0 = jnp.pad(w0, ((0, 8 - cin), (0, 0)))
         layers = ((w0, a0, c0),) + tuple(layers[1:])
         cin = 8
+    if inner is not None:
+        # n-resident layout: one n-grid step, sub-chunked in registers
+        tn = -(-n // inner) * inner
+    else:
+        inner = tn
     n_pad = -(-n // tn) * tn
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -195,8 +231,8 @@ def _chain_pool(x, layers, *, sym_op, relu_last, tb, tn, interpret,
     return pl.pallas_call(
         functools.partial(
             _chain_kernel, n_layers=len(layers), n_valid=n, tn=tn,
-            sym_op=sym_op, relu_last=relu_last,
-            bf16_operands=bf16_operands,
+            inner=inner, grid_n=n_pad // tn, sym_op=sym_op,
+            relu_last=relu_last, bf16_operands=bf16_operands,
         ),
         out_shape=jax.ShapeDtypeStruct((b, cout), jnp.float32),
         grid=grid,

@@ -355,3 +355,33 @@ def test_eval_chain_model_equivalence(rng, monkeypatch):
     jax.clear_caches()
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_chain_pool_inner_n_resident(rng):
+    """The n-resident layout (``inner`` sub-chunking, single n-grid step)
+    must agree with the literal oracle across ragged lengths and pools,
+    including sub-chunks that are entirely padding."""
+    from points2surf_tpu.ops.pallas.chain_kernel import (
+        _chain_literal,
+        chain_pool,
+    )
+
+    for b, n, cin in [(16, 300, 3), (8, 130, 64), (8, 1000, 64)]:
+        x = jnp.asarray((rng.randn(b, n, cin) * 0.5).astype(np.float32))
+        layers, ci = [], cin
+        for co in (64, 128, 256):
+            layers.append((
+                jnp.asarray((rng.randn(ci, co) * 0.2).astype(np.float32)),
+                jnp.asarray((rng.rand(co) + 0.5).astype(np.float32)),
+                jnp.asarray((rng.randn(co) * 0.1).astype(np.float32)),
+            ))
+            ci = co
+        layers = tuple(layers)
+        for sym in ("max", "sum"):
+            want = _chain_literal(x, layers, sym, False)
+            for inner in (64, 128, 256):
+                got = chain_pool(x, layers, sym_op=sym, inner=inner,
+                                 interpret=True, bf16_operands=False)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-3
+                )
